@@ -1,0 +1,22 @@
+from .config import TrainConfig
+from .state import TrainState, create_train_state
+from .loop import (
+    make_train_step,
+    make_eval_step,
+    train_epoch,
+    evaluate,
+    Trainer,
+)
+from .lr import ReduceLROnPlateau, StepDecay
+from .loader import GraphLoader
+from .kfold import k_fold, k_fold_unstratified
+from .checkpoint import CheckpointSaver, save_checkpoint, load_checkpoint
+from .ema import EMA
+
+__all__ = [
+    "TrainConfig", "TrainState", "create_train_state",
+    "make_train_step", "make_eval_step", "train_epoch", "evaluate", "Trainer",
+    "ReduceLROnPlateau", "StepDecay", "GraphLoader",
+    "k_fold", "k_fold_unstratified",
+    "CheckpointSaver", "save_checkpoint", "load_checkpoint", "EMA",
+]

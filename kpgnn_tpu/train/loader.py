@@ -1,0 +1,69 @@
+"""Batch iterator: Graph list -> stream of fixed-shape GraphBatches.
+
+Shapes are chosen once per loader (worst-case over the dataset by
+default), so the jitted train step compiles exactly once.  The final
+partial batch is padded with masked graph slots instead of being dropped
+or reshaped.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..graph.batch import BucketSpec, GraphBatch, collate
+from ..graph.data import Graph
+
+
+class GraphLoader:
+    def __init__(
+        self,
+        graphs: Sequence[Graph],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        n_pad: Optional[int] = None,
+        e_pad: Optional[int] = None,
+        spec: Optional[BucketSpec] = None,
+        y_is_node_level: bool = False,
+        drop_last: bool = False,
+    ):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.y_is_node_level = y_is_node_level
+        self.drop_last = drop_last
+        spec = spec or BucketSpec()
+
+        if n_pad is None or e_pad is None:
+            # worst case: batch_size largest graphs end up together
+            ns = sorted((g.num_nodes for g in self.graphs), reverse=True)
+            es = sorted((g.num_edges for g in self.graphs), reverse=True)
+            worst_n = sum(ns[:batch_size])
+            worst_e = sum(es[:batch_size])
+            dn, de = spec.pad_sizes(worst_n, worst_e)
+            n_pad = n_pad if n_pad is not None else dn
+            e_pad = e_pad if e_pad is not None else de
+        self.n_pad, self.e_pad = n_pad, e_pad
+        self.g_pad = batch_size + 1
+
+    def __len__(self) -> int:
+        n = len(self.graphs)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        n_batches = len(self)
+        for i in range(n_batches):
+            idx = order[i * bs:(i + 1) * bs]
+            batch_graphs = [self.graphs[j] for j in idx]
+            yield collate(
+                batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
+                g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

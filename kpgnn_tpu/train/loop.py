@@ -1,0 +1,229 @@
+"""Jitted train/eval steps and the epoch-level Trainer.
+
+Losses and metrics are computed under the batch masks: padded graph/node
+slots contribute zero to sums and zero to counts, so a padded epoch is
+numerically identical to the reference's ragged epochs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..graph.batch import GraphBatch
+from .config import TrainConfig
+from .lr import ReduceLROnPlateau
+from .state import TrainState, create_train_state, get_lr, set_lr
+
+
+def _masked_loss(pred, y, mask, loss: str):
+    """Returns (sum of per-item losses over real items, item count)."""
+    m = mask.astype(jnp.float32)
+    if loss == "cross_entropy":
+        y = y.astype(jnp.int32)
+        item = optax.softmax_cross_entropy_with_integer_labels(pred, y)
+    else:
+        y = y.astype(pred.dtype)
+        if pred.ndim > y.ndim:
+            y = y.reshape(pred.shape)
+        diff = pred - y
+        item = jnp.abs(diff) if loss == "l1" else diff * diff
+        if item.ndim > 1:
+            item = item.mean(axis=tuple(range(1, item.ndim)))
+    return jnp.sum(item * m), jnp.sum(m)
+
+
+def _batch_target_mask(batch: GraphBatch, node_level: bool):
+    return (batch.node_mask if node_level else batch.graph_mask)
+
+
+def make_train_step(model, tx, loss: str = "l1", node_level: bool = False,
+                    donate: bool = True):
+    def step(state: TrainState, batch: GraphBatch, rng):
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, batch, train=True,
+                              rngs={"dropout": rng}, mutable=mutable)
+            pred, updates = out if mutable else (out, {})
+            mask = _batch_target_mask(batch, node_level)
+            lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
+            return lsum / jnp.maximum(cnt, 1.0), (updates, lsum, cnt)
+
+        (lval, (updates, lsum, cnt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_params, new_opt = _apply(tx, grads, state.opt_state, state.params)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss_sum": lsum, "count": cnt}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _apply(tx, grads, opt_state, params):
+    updates, new_opt = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt
+
+
+def make_eval_step(model, loss: str = "l1", node_level: bool = False,
+                   metric: str = "same", bn_train_mode: bool = False):
+    """Eval step returning per-batch sums for exact epoch aggregation.
+
+    metric: "same" (the loss), "mae", "mse", "accuracy", or "none".
+    bn_train_mode keeps BatchNorm in batch-statistics mode during eval —
+    the SR25 protocol (reference: train_SR.py:46-47).
+    """
+    def step(state: TrainState, batch: GraphBatch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        if bn_train_mode:
+            pred = model.apply(variables, batch, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(0)},
+                               mutable=["batch_stats"])[0]
+        else:
+            pred = model.apply(variables, batch, train=False)
+        mask = _batch_target_mask(batch, node_level)
+        lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
+        out = {"loss_sum": lsum, "count": cnt}
+        which = loss if metric == "same" else metric
+        if which == "accuracy" or loss == "cross_entropy":
+            y = batch.y.astype(jnp.int32)
+            correct = (jnp.argmax(pred, -1) == y) & mask
+            out["correct"] = jnp.sum(correct)
+        if which in ("mae", "l1") and loss not in ("l1",):
+            msum, _ = _masked_loss(pred, batch.y, mask, "l1")
+            out["mae_sum"] = msum
+        if which in ("mse",) and loss not in ("mse",):
+            msum, _ = _masked_loss(pred, batch.y, mask, "mse")
+            out["mse_sum"] = msum
+        # per-target absolute error (multi-target regression, e.g. QM9)
+        if not node_level and batch.y is not None and batch.y.ndim == 2 \
+                and loss in ("l1", "mse"):
+            m = mask.astype(pred.dtype)[:, None]
+            out["abs_per_target"] = jnp.sum(jnp.abs(pred - batch.y) * m, 0)
+        return out
+
+    return jax.jit(step)
+
+
+def train_epoch(train_step, state, loader, rng) -> tuple:
+    total, count = 0.0, 0.0
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        state, m = train_step(state, batch, sub)
+        total += float(m["loss_sum"])
+        count += float(m["count"])
+    return state, total / max(count, 1.0)
+
+
+def evaluate(eval_step, state, loader) -> Dict[str, float]:
+    sums: Dict[str, float] = {}
+    for batch in loader:
+        m = eval_step(state, batch)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + np.asarray(v).astype(np.float64)
+    cnt = max(float(sums.get("count", 0.0)), 1.0)
+    out = {"loss": float(sums.get("loss_sum", 0.0)) / cnt, "count": cnt}
+    if "correct" in sums:
+        out["accuracy"] = float(sums["correct"]) / cnt
+    if "mae_sum" in sums:
+        out["mae"] = float(sums["mae_sum"]) / cnt
+    if "mse_sum" in sums:
+        out["mse"] = float(sums["mse_sum"]) / cnt
+    if "abs_per_target" in sums:
+        out["mae_per_target"] = (np.asarray(sums["abs_per_target"]) / cnt)
+    return out
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch loop with plateau LR, best-val gating, and optional min-lr
+    stopping — the shared shape of every reference train script
+    (reference: train_ZINC.py:245-276)."""
+
+    model: object
+    cfg: TrainConfig
+    loss: str = "l1"
+    node_level: bool = False
+    metric_mode: str = "min"            # "min" tracks loss, "max" accuracy
+    eval_metric: str = "same"
+    bn_train_mode_eval: bool = False
+    logger: Optional[object] = None
+
+    def log(self, msg):
+        if self.logger:
+            self.logger.info(msg)
+
+    def fit(self, train_loader, val_loader=None, test_loader=None,
+            rng=None, epoch_callback=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        example = next(iter(train_loader))
+        state, tx = create_train_state(
+            self.model, example, init_rng, self.cfg.lr, self.cfg.l2_wd)
+        train_step = make_train_step(self.model, tx, self.loss,
+                                     self.node_level)
+        eval_step = make_eval_step(self.model, self.loss, self.node_level,
+                                   self.eval_metric, self.bn_train_mode_eval)
+        sched = ReduceLROnPlateau(
+            factor=self.cfg.factor, patience=self.cfg.patience,
+            min_lr=self.cfg.min_lr, mode=self.metric_mode)
+
+        key = ("accuracy" if self.metric_mode == "max" else "loss")
+        best_val = -math.inf if self.metric_mode == "max" else math.inf
+        best_test: Dict[str, float] = {}
+        best_epoch = -1
+        history = []
+        for epoch in range(self.cfg.num_epochs):
+            t0 = time.time()
+            rng, sub = jax.random.split(rng)
+            state, train_loss = train_epoch(train_step, state, train_loader, sub)
+            row = {"epoch": epoch, "train_loss": train_loss,
+                   "lr": get_lr(state), "seconds": time.time() - t0}
+            if val_loader is not None:
+                val = evaluate(eval_step, state, val_loader)
+                row.update({f"val_{k}": v for k, v in val.items()
+                            if k != "count"})
+                metric = val[key]
+                lr = get_lr(state)
+                new_lr = sched.step(
+                    metric if self.metric_mode == "min" else -metric, lr)
+                if new_lr != lr:
+                    state = set_lr(state, new_lr)
+                better = (metric > best_val if self.metric_mode == "max"
+                          else metric < best_val)
+                if better:
+                    best_val = metric
+                    best_epoch = epoch
+                    if test_loader is not None:
+                        best_test = evaluate(eval_step, state, test_loader)
+                        row.update({f"test_{k}": v for k, v in
+                                    best_test.items() if k != "count"})
+            history.append(row)
+            self.log(" ".join(
+                f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items() if not isinstance(v, np.ndarray)))
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, row)
+            if self.cfg.stop_at_min_lr and get_lr(state) <= self.cfg.min_lr:
+                self.log(f"lr reached min_lr at epoch {epoch}; stopping")
+                break
+        return state, {
+            "best_val": best_val, "best_epoch": best_epoch,
+            "best_test": best_test, "history": history,
+        }

@@ -1,0 +1,130 @@
+"""End-to-end training on a synthetic expressiveness task."""
+import numpy as np
+import jax
+import pytest
+
+import networkx as nx
+
+from kpgnn_tpu.graph import Graph
+from kpgnn_tpu.models import ModelConfig, make_model
+from kpgnn_tpu.prep import KHopConfig, extract_khop
+from kpgnn_tpu.train import (
+    CheckpointSaver,
+    GraphLoader,
+    ReduceLROnPlateau,
+    TrainConfig,
+    Trainer,
+    create_train_state,
+    k_fold,
+    load_checkpoint,
+    save_checkpoint,
+)
+from kpgnn_tpu.train.state import get_lr, set_lr
+
+
+def make_dataset(n_graphs=80, seed=0, K=2):
+    """Binary classification: does the graph contain a triangle?"""
+    rng = np.random.default_rng(seed)
+    cfg = KHopConfig(K=K, kernel="spd", max_edge_attr_num=10,
+                     max_hop_num=2, max_edge_type=1, max_edge_count=10,
+                     max_distance_count=10)
+    graphs = []
+    for i in range(n_graphs):
+        n = int(rng.integers(5, 9))
+        g = nx.gnp_random_graph(n, 0.45, seed=int(rng.integers(1 << 30)))
+        tri = sum(nx.triangles(g).values()) > 0
+        edges = [(u, v) for u, v in g.edges] + [(v, u) for u, v in g.edges]
+        ei = (np.array(edges).T if edges else np.zeros((2, 0), np.int64))
+        gg = extract_khop(n, ei, None, cfg,
+                          x=np.zeros((n, 1), np.int64),
+                          y=np.array([int(tri)], np.int64))
+        graphs.append(gg)
+    return graphs
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_dataset()
+
+
+def model_cfg(K=2):
+    return ModelConfig(
+        model_name="KPGIN", hidden_size=32, num_layer=2, K=K,
+        num_hop1_edge=1, max_pe_num=10, max_edge_type=1,
+        max_edge_count=10, max_hop_num=2, max_distance_count=10,
+        JK="last", combine="geometric", virtual_node=False,
+        input_encoder=("embedding", 2),
+        task="graph_classification", pooling_method="sum", output_size=2,
+    )
+
+
+def test_trainer_learns_triangles(dataset):
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset, batch_size=16, shuffle=True, seed=0)
+    val_loader = GraphLoader(dataset, batch_size=16)
+    cfg = TrainConfig(lr=5e-3, num_epochs=30, batch_size=16,
+                      loss="cross_entropy", patience=50)
+    trainer = Trainer(model, cfg, loss="cross_entropy", metric_mode="max")
+    state, result = trainer.fit(loader, val_loader, val_loader,
+                                rng=jax.random.PRNGKey(0))
+    assert result["best_val"] > 0.85, result["best_val"]
+
+
+def test_checkpoint_roundtrip(dataset):
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset[:16], batch_size=8)
+    batch = next(iter(loader))
+    state, tx = create_train_state(model, batch, jax.random.PRNGKey(0), 1e-3)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.ckpt")
+        save_checkpoint(p, state, {"note": 1})
+        state2, meta = load_checkpoint(p, state)
+        assert meta["note"] == 1
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(state2.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+        saver = CheckpointSaver(d, max_checkpoints=2)
+        for i, metric in enumerate([3.0, 2.0, 4.0, 1.0]):
+            saver.save(i, state, metric)
+        assert saver.best == 1.0
+        files = sorted(os.listdir(d))
+        assert "best.ckpt" in files
+        assert len([f for f in files if f.startswith("step_")]) == 2
+
+
+def test_kfold_protocol():
+    labels = np.array([0, 1] * 50)
+    folds = k_fold(100, labels, folds=10)
+    assert len(folds) == 10
+    for i, (tr, va, te) in enumerate(folds):
+        assert len(set(te) & set(va)) == 0
+        assert len(set(tr) & set(te)) == 0
+        assert len(set(tr) & set(va)) == 0
+        assert len(tr) + len(va) + len(te) == 100
+        # stratification: each test fold is half-and-half
+        assert abs(labels[te].mean() - 0.5) < 0.26
+    # val(i) == test(i-1)
+    assert set(folds[1][1]) == set(folds[0][2])
+
+
+def test_plateau_scheduler():
+    s = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-5)
+    lr = 1.0
+    lr = s.step(1.0, lr)   # best=1.0
+    for _ in range(3):
+        lr = s.step(2.0, lr)
+    assert lr == 0.5
+    lr = s.step(0.5, lr)   # improvement resets
+    assert lr == 0.5
+
+
+def test_set_lr_updates_jitted_step(dataset):
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset[:16], batch_size=8)
+    batch = next(iter(loader))
+    state, tx = create_train_state(model, batch, jax.random.PRNGKey(0), 1e-3)
+    assert get_lr(state) == pytest.approx(1e-3)
+    state = set_lr(state, 5e-4)
+    assert get_lr(state) == pytest.approx(5e-4)
