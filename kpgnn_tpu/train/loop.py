@@ -53,9 +53,14 @@ def make_train_step(model, tx, loss: str = "l1", node_level: bool = False,
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = model.apply(variables, batch, train=True,
-                              rngs={"dropout": rng}, mutable=mutable)
-            pred, updates = out if mutable else (out, {})
+            if mutable:
+                pred, updates = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng}, mutable=mutable)
+            else:
+                pred, updates = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng}), {}
             mask = _batch_target_mask(batch, node_level)
             lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
             return lsum / jnp.maximum(cnt, 1.0), (updates, lsum, cnt)
