@@ -44,7 +44,10 @@ def make_optimizer(lr: float, l2_wd: float = 0.0) -> optax.GradientTransformatio
 
 def create_train_state(model, example_batch, rng, lr: float,
                        l2_wd: float = 0.0) -> tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init(rng, example_batch, train=False)
+    # jit the init: eager init dispatches hundreds of tiny ops one by one,
+    # which is pathological over a remote-dispatch TPU link
+    init_fn = jax.jit(lambda rng, b: model.init(rng, b, train=False))
+    variables = init_fn(rng, example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     tx = make_optimizer(lr, l2_wd)
