@@ -26,7 +26,7 @@ BASELINE_EDGES_PER_S = 2.0e6
 
 def main():
     from kpgnn_tpu.data.synthetic import synthetic_molecules
-    from kpgnn_tpu.graph.batch import collate
+    from kpgnn_tpu.graph.batch import collate_dense
     from kpgnn_tpu.models import ModelConfig, make_model
     from kpgnn_tpu.prep import KHopConfig
     from kpgnn_tpu.train import create_train_state, make_train_step
@@ -45,16 +45,13 @@ def main():
         task="graph_regression", pooling_method="sum")
     model = make_model(mcfg)
 
-    # one fixed shape for all batches (single compile)
-    from kpgnn_tpu.graph.batch import pad_sizes
-    n_pad = max(pad_sizes(graphs[i:i + batch_size])[0]
-                for i in range(0, len(graphs), batch_size))
-    e_pad = max(pad_sizes(graphs[i:i + batch_size])[1]
-                for i in range(0, len(graphs), batch_size))
-    batches = [collate(graphs[i:i + batch_size], n_pad=n_pad, e_pad=e_pad,
-                       g_pad=batch_size + 1)
+    # dense MXU backend: one fixed (B, K, n_slot, n_slot) shape
+    n_slot = 40
+    batches = [collate_dense(graphs[i:i + batch_size], n_slot=n_slot,
+                             v1=3 + 2, vk=30 + 2, g_pad=batch_size)
                for i in range(0, len(graphs), batch_size)]
-    real_edges = [int(np.asarray(b.edge_mask).sum()) for b in batches]
+    real_edges = [int((np.asarray(b.adj.hop_attr) > 0).any(1).sum())
+                  for b in batches]
 
     state, tx = create_train_state(model, batches[0], jax.random.PRNGKey(0),
                                    1e-3)
@@ -66,7 +63,7 @@ def main():
         state, m = step(state, b, rng)
     jax.block_until_ready(m["loss_sum"])
 
-    iters = 30
+    iters = 50
     t0 = time.perf_counter()
     edges = 0
     for i in range(iters):

@@ -1,22 +1,25 @@
 """Statically-shaped padded graph batches for XLA.
 
 Everything under `jit` needs static shapes, so a batch of ragged graphs is
-packed into one padded `GraphBatch` pytree:
+packed into one padded `GraphBatch` pytree.  The adjacency lives behind
+one of two backends (ops/adjacency.py):
 
-  * node arrays padded to `n_pad`, edge arrays to `e_pad`, graph arrays to
-    `g_pad`; boolean masks mark real entries,
-  * edges are sorted by receiver so the aggregation segment-sum is a
-    monotone scatter (fast, deterministic on TPU),
-  * padded edges carry all-zero `edge_attr` (the hop mask), so their
-    messages vanish without extra masking in the hot loop,
-  * padded nodes belong to the (masked) last graph slot so pooled padding
-    never contaminates a real graph's readout,
-  * pad sizes come from `BucketSpec` rounding, bounding the number of
-    distinct compiled shapes.
+  * COO ("coo")   — edges concatenated, receiver-sorted, padded to e_pad;
+    padded edges carry all-zero edge_attr (the hop mask) so their messages
+    vanish; general, any graph size.
+  * dense ("dense") — each graph gets a fixed n_slot x n_slot hop-attr
+    tile; aggregation becomes batched masked matmul on the MXU.  The node
+    axis stays flat (N = B * n_slot) so all non-adjacency code is
+    layout-agnostic.
 
-Design note: the reference reaches the same per-hop masking semantics with
-dynamic shapes inside PyG's MessagePassing (reference: layers/KPGIN.py:115-118);
-here masking *is* the padding story, one mechanism for both.
+Masks mark real entries everywhere; padded nodes belong to the masked
+last graph slot (COO) or to their slot's graph with node_mask=0 (dense),
+and either way masked stats/pools keep padding out of the math.
+
+Design note: the reference reaches the same per-hop masking semantics
+with dynamic shapes inside PyG's MessagePassing
+(reference: layers/KPGIN.py:115-118); here masking *is* the padding
+story, one mechanism for both.
 """
 from __future__ import annotations
 
@@ -27,18 +30,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..ops.adjacency import COOAdj, DenseAdj, Adjacency
 from .data import Graph
 
 
 @struct.dataclass
 class GraphBatch:
-    """Padded batch of graphs as a jit-friendly pytree.
+    """Padded batch of graphs as a jit-friendly pytree."""
 
-    Shapes (all static): N = n_pad nodes, E = e_pad edges, G = g_pad graphs,
-    K hops.
-    """
-
-    # --- node-level ---
+    # --- node-level (N = n_pad) ---
     x: jnp.ndarray                       # (N, F) float or (N, C) int
     node_mask: jnp.ndarray               # (N,) bool
     node_graph_ids: jnp.ndarray          # (N,) int32 in [0, G)
@@ -49,13 +49,10 @@ class GraphBatch:
     z: Optional[jnp.ndarray]             # (N,) or (N, Z) int | None
     pos: Optional[jnp.ndarray]           # (N, 3) float | None
 
-    # --- edge-level (sorted by receiver) ---
-    senders: jnp.ndarray                 # (E,) int32
-    receivers: jnp.ndarray               # (E,) int32
-    edge_attr: jnp.ndarray               # (E, K) int32, 0 = masked
-    edge_mask: jnp.ndarray               # (E,) bool
+    # --- adjacency backend ---
+    adj: Adjacency
 
-    # --- graph-level ---
+    # --- graph-level (G = g_pad) ---
     y: Optional[jnp.ndarray]             # (G, ...) or (N, ...) target
     graph_mask: jnp.ndarray              # (G,) bool
 
@@ -64,16 +61,12 @@ class GraphBatch:
         return self.x.shape[0]
 
     @property
-    def e_pad(self) -> int:
-        return self.senders.shape[0]
-
-    @property
     def g_pad(self) -> int:
         return self.graph_mask.shape[0]
 
     @property
     def K(self) -> int:
-        return self.edge_attr.shape[1]
+        return self.adj.K
 
     @property
     def num_nodes(self) -> jnp.ndarray:
@@ -82,6 +75,23 @@ class GraphBatch:
     @property
     def num_graphs(self) -> jnp.ndarray:
         return jnp.sum(self.graph_mask)
+
+    # COO conveniences (tests / kernels)
+    @property
+    def senders(self):
+        return self.adj.senders
+
+    @property
+    def receivers(self):
+        return self.adj.receivers
+
+    @property
+    def edge_attr(self):
+        return self.adj.edge_attr
+
+    @property
+    def edge_mask(self):
+        return self.adj.edge_mask
 
 
 def _round_up(x: int, m: int) -> int:
@@ -127,6 +137,44 @@ def pad_sizes(graphs: Sequence[Graph], spec: Optional[BucketSpec] = None) -> Tup
     return n_pad, e_pad, len(graphs) + 1
 
 
+def _cat_nodes(graphs, field, n_pad, slot=None):
+    """Concatenate a node-level field with padding; `slot` (dense mode)
+    places graph b at offset b*slot."""
+    arrs = [getattr(g, field) for g in graphs]
+    if any(a is None for a in arrs):
+        return None
+    a0 = np.asarray(arrs[0])
+    out = np.zeros((n_pad,) + a0.shape[1:], dtype=a0.dtype)
+    off = 0
+    for b, (g, a) in enumerate(zip(graphs, arrs)):
+        o = b * slot if slot is not None else off
+        out[o:o + g.num_nodes] = np.asarray(a)
+        off += g.num_nodes
+    return out
+
+
+def _collate_y(graphs, g_pad, n_pad, y_is_node_level, slot=None):
+    ys = [g.y for g in graphs]
+    if any(v is None for v in ys):
+        return None
+    y0 = np.asarray(ys[0])
+    if y_is_node_level:
+        y = np.zeros((n_pad,) + y0.shape[1:], dtype=y0.dtype)
+        off = 0
+        for b, g in enumerate(graphs):
+            o = b * slot if slot is not None else off
+            y[o:o + g.num_nodes] = np.asarray(g.y)
+            off += g.num_nodes
+        return y
+    y0 = y0.reshape(-1)
+    y = np.zeros((g_pad, y0.shape[0]) if y0.shape[0] > 1 else (g_pad,),
+                 dtype=y0.dtype)
+    for i, g in enumerate(graphs):
+        y[i] = (np.asarray(g.y).reshape(-1) if y.ndim > 1
+                else np.asarray(g.y).reshape(()))
+    return y
+
+
 def collate(
     graphs: Sequence[Graph],
     n_pad: Optional[int] = None,
@@ -135,12 +183,8 @@ def collate(
     spec: Optional[BucketSpec] = None,
     y_is_node_level: bool = False,
 ) -> GraphBatch:
-    """Pack graphs into one padded `GraphBatch` (host-side numpy, then jnp).
-
-    Node indices are offset per graph; edges are concatenated then sorted by
-    receiver (stable, so same-receiver edges keep graph order).  Padded
-    nodes are assigned to the final (masked) graph slot.
-    """
+    """COO collation: offset node indices, sort edges by receiver (stable),
+    pad everything to (n_pad, e_pad, g_pad)."""
     if n_pad is None or e_pad is None or g_pad is None:
         dn, de, dg = pad_sizes(graphs, spec)
         n_pad = n_pad if n_pad is not None else dn
@@ -159,29 +203,6 @@ def collate(
         )
 
     K = graphs[0].K
-
-    def cat(field, pad_value=0, dtype=None, extra_shape=()):
-        arrs = [getattr(g, field) for g in graphs]
-        if any(a is None for a in arrs):
-            return None
-        a0 = np.asarray(arrs[0])
-        dtype = dtype or a0.dtype
-        out = np.full((n_pad,) + a0.shape[1:], pad_value, dtype=dtype)
-        off = 0
-        for g, a in zip(graphs, arrs):
-            a = np.asarray(a)
-            out[off:off + g.num_nodes] = a
-            off += g.num_nodes
-        return out
-
-    x = cat("x")
-    pe = cat("pe_attr")
-    per_e = cat("peripheral_edge_attr")
-    per_c = cat("peripheral_config_attr")
-    rd = cat("rd")
-    z = cat("z")
-    pos = cat("pos")
-
     node_mask = np.zeros((n_pad,), dtype=bool)
     node_mask[:tot_n] = True
     node_graph_ids = np.full((n_pad,), g_pad - 1, dtype=np.int32)
@@ -199,14 +220,11 @@ def collate(
         e = g.num_edges
         senders[off_e:off_e + e] = g.edge_index[0] + off_n
         receivers[off_e:off_e + e] = g.edge_index[1] + off_n
-        ea = np.asarray(g.edge_attr)
-        edge_attr[off_e:off_e + e] = ea.reshape(e, K)
+        edge_attr[off_e:off_e + e] = np.asarray(g.edge_attr).reshape(e, K)
         edge_mask[off_e:off_e + e] = True
         off_n += g.num_nodes
         off_e += e
 
-    # Sort edges by receiver (stable) — padded edges point at n_pad-1 and
-    # stay at the tail, so the segment ids are monotone over the whole axis.
     order = np.argsort(receivers[:off_e], kind="stable")
     senders[:off_e] = senders[:off_e][order]
     receivers[:off_e] = receivers[:off_e][order]
@@ -215,36 +233,94 @@ def collate(
     graph_mask = np.zeros((g_pad,), dtype=bool)
     graph_mask[:B] = True
 
-    y = None
-    ys = [g.y for g in graphs]
-    if all(v is not None for v in ys):
-        y0 = np.asarray(ys[0])
-        if y_is_node_level:
-            y = np.zeros((n_pad,) + y0.shape[1:], dtype=y0.dtype)
-            off = 0
-            for g in graphs:
-                y[off:off + g.num_nodes] = np.asarray(g.y)
-                off += g.num_nodes
-        else:
-            y0 = y0.reshape(-1)
-            y = np.zeros((g_pad, y0.shape[0]) if y0.shape[0] > 1 else (g_pad,),
-                         dtype=y0.dtype)
-            for i, g in enumerate(graphs):
-                y[i] = np.asarray(g.y).reshape(-1) if y.ndim > 1 else np.asarray(g.y).reshape(())
-    return GraphBatch(
-        x=jnp.asarray(x) if x is not None else None,
-        node_mask=jnp.asarray(node_mask),
-        node_graph_ids=jnp.asarray(node_graph_ids),
-        pe_attr=jnp.asarray(pe) if pe is not None else None,
-        peripheral_edge_attr=jnp.asarray(per_e) if per_e is not None else None,
-        peripheral_config_attr=jnp.asarray(per_c) if per_c is not None else None,
-        rd=jnp.asarray(rd) if rd is not None else None,
-        z=jnp.asarray(z) if z is not None else None,
-        pos=jnp.asarray(pos) if pos is not None else None,
+    adj = COOAdj(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
         edge_attr=jnp.asarray(edge_attr),
         edge_mask=jnp.asarray(edge_mask),
-        y=jnp.asarray(y) if y is not None else None,
-        graph_mask=jnp.asarray(graph_mask),
+        n_nodes=n_pad,
+    )
+    return _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids,
+                   graph_mask, y_is_node_level, slot=None)
+
+
+def collate_dense(
+    graphs: Sequence[Graph],
+    n_slot: int,
+    v1: int,
+    vk: int,
+    g_pad: Optional[int] = None,
+    y_is_node_level: bool = False,
+) -> GraphBatch:
+    """Dense collation: graph b occupies node slots [b*n_slot, (b+1)*n_slot).
+
+    v1/vk are the hop-1 / hop-k attr vocab sizes (num_hop1_edge+2 and
+    max_pe_num+2 in model terms) for the precomputed count histograms.
+    """
+    B = len(graphs)
+    g_pad = g_pad if g_pad is not None else B
+    K = graphs[0].K
+    for g in graphs:
+        if g.num_nodes > n_slot:
+            raise ValueError(f"graph with {g.num_nodes} nodes > n_slot={n_slot}")
+    n_pad = g_pad * n_slot
+
+    hop_attr = np.zeros((g_pad, K, n_slot, n_slot), dtype=np.int32)
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_graph_ids = np.repeat(np.arange(g_pad, dtype=np.int32), n_slot)
+    for b, g in enumerate(graphs):
+        node_mask[b * n_slot: b * n_slot + g.num_nodes] = True
+        if g.num_edges:
+            u, v = g.edge_index[0], g.edge_index[1]
+            ea = np.asarray(g.edge_attr).reshape(g.num_edges, K)
+            # receiver-major: [k, i, j] = attr of edge j -> i
+            for k in range(K):
+                hop_attr[b, k, v, u] = ea[:, k]
+
+    counts1 = np.zeros((g_pad, n_slot, v1), dtype=np.float32)
+    countsk = (np.zeros((g_pad, n_slot, K - 1, vk), dtype=np.float32)
+               if K > 1 else None)
+    a1 = np.clip(hop_attr[:, 0], 0, v1 - 1)
+    for val in range(1, v1):
+        counts1[..., val] = (a1 == val).sum(-1)
+    if K > 1:
+        ak = np.clip(hop_attr[:, 1:], 0, vk - 1)     # (B, K-1, n, n)
+        for val in range(1, vk):
+            countsk[..., val] = (ak == val).sum(-1).transpose(0, 2, 1)
+
+    graph_mask = np.zeros((g_pad,), dtype=bool)
+    graph_mask[:B] = True
+    adj = DenseAdj(
+        hop_attr=jnp.asarray(hop_attr),
+        counts1=jnp.asarray(counts1),
+        countsk=jnp.asarray(countsk) if countsk is not None else None,
+    )
+    return _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids,
+                   graph_mask, y_is_node_level, slot=n_slot)
+
+
+def _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids, graph_mask,
+            y_is_node_level, slot):
+    x = _cat_nodes(graphs, "x", n_pad, slot)
+    pe = _cat_nodes(graphs, "pe_attr", n_pad, slot)
+    per_e = _cat_nodes(graphs, "peripheral_edge_attr", n_pad, slot)
+    per_c = _cat_nodes(graphs, "peripheral_config_attr", n_pad, slot)
+    rd = _cat_nodes(graphs, "rd", n_pad, slot)
+    z = _cat_nodes(graphs, "z", n_pad, slot)
+    pos = _cat_nodes(graphs, "pos", n_pad, slot)
+    y = _collate_y(graphs, g_pad, n_pad, y_is_node_level, slot)
+    j = jnp.asarray
+    return GraphBatch(
+        x=j(x) if x is not None else None,
+        node_mask=j(node_mask),
+        node_graph_ids=j(node_graph_ids),
+        pe_attr=j(pe) if pe is not None else None,
+        peripheral_edge_attr=j(per_e) if per_e is not None else None,
+        peripheral_config_attr=j(per_c) if per_c is not None else None,
+        rd=j(rd) if rd is not None else None,
+        z=j(z) if z is not None else None,
+        pos=j(pos) if pos is not None else None,
+        adj=adj,
+        y=j(y) if y is not None else None,
+        graph_mask=j(graph_mask),
     )

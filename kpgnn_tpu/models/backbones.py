@@ -214,10 +214,8 @@ class GNN(nn.Module):
             if vn_mod is not None:
                 h_list[l] = h_list[l] + vn[batch.node_graph_ids]
             layer = self.layer_fn(f"gnn{l}")
-            h = layer(h_list[l], batch.senders, batch.receivers,
-                      batch.edge_attr, batch.pe_attr, peripheral_attr,
-                      node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                      train=train)
+            h = layer(h_list[l], batch.adj, batch.pe_attr, peripheral_attr,
+                      node_mask=batch.node_mask, train=train)
             h = _apply_norm(self.norm_type, f"norm{l}", self, h, batch, train)
             if l != L - 1:
                 h = dropout(h)
@@ -289,12 +287,10 @@ class GNNPlus(nn.Module):
             window = jnp.stack([h_list[j] for j in range(l, l - k, -1)],
                                axis=1)                         # (N, k, H)
             layer = self.layer_fn(l, f"gnn{l}")
-            h = layer(window, batch.senders, batch.receivers,
-                      batch.edge_attr[:, :k],
+            h = layer(window, batch.adj.slice_hops(k),
                       batch.pe_attr[:, :k - 1] if batch.pe_attr is not None else None,
                       peripheral_attr[:, :k],
-                      node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                      train=train)
+                      node_mask=batch.node_mask, train=train)
             h = _apply_norm(self.norm_type, f"norm{l}", self, h, batch, train)
             if l != L - 1:
                 h = dropout(h)
@@ -365,10 +361,8 @@ class GNNPrime(nn.Module):
             if vn_mod is not None:
                 h_list[l] = h_list[l] + vn[batch.node_graph_ids]
             layer = self.layer_fn(f"khop_gnn{l}")
-            h = layer(h_list[l], batch.senders, batch.receivers,
-                      batch.edge_attr, batch.pe_attr, peripheral_attr,
-                      node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                      train=train)
+            h = layer(h_list[l], batch.adj, batch.pe_attr, peripheral_attr,
+                      node_mask=batch.node_mask, train=train)
             h = _apply_norm(self.norm_type, f"norm{l}", self, h, batch, train)
             # the reference applies dropout unconditionally in the l1 loop
             # (models/GNNs.py:657)
@@ -384,10 +378,8 @@ class GNNPrime(nn.Module):
             if vn_mod is not None:
                 h_list[l] = h_list[l] + vn[batch.node_graph_ids]
             gine = knn.GINEConv(H, self.num_hop1_edge, name=f"gine{l - L1}")
-            h = gine(h_list[l], batch.senders, batch.receivers,
-                     batch.edge_attr[:, :1],
-                     node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                     train=train)
+            h = gine(h_list[l], batch.adj,
+                     node_mask=batch.node_mask, train=train)
             h = _apply_norm(self.norm_type, f"norm{l}", self, h, batch, train)
             if l != L - 1:
                 h = dropout(h)

@@ -1,17 +1,21 @@
 """K-hop message-passing convolutions.
 
 All four KP layers share one skeleton (reference: layers/): reshape node
-state to (N, K, d_k), embed per-hop edge attrs, add the hop-k path
-encoding to node state, aggregate the union edge set once with per-hop
-masking (a single gather -> mask -> segment-sum implements all K hops at
-once — `ops.khop_aggregate`), add the peripheral embedding, apply the
-per-hop transform, and combine across hops.
+state to (N, K, d_k), add the hop-k path encoding to node state, run ONE
+k-hop aggregation over the union edge set with per-hop masking and
+per-edge embeddings folded in (`ops.adjacency.khop_aggregate_adj` — a
+gather/segment-sum on the COO backend or pure batched MXU matmuls on the
+dense backend), add the peripheral embedding, apply the per-hop
+transform, and combine across hops.
 
 TPU-first departures from the reference:
   * the GCN self-loop is handled analytically (deg^-1 * (x + self_emb))
     instead of appending E += N self-loop edges
-    (reference: layers/KPGCN.py:85-89) — the edge arrays keep their static
-    padded shape and the math is identical;
+    (reference: layers/KPGCN.py:85-89) — edge arrays keep their static
+    padded shape and the math is identical (verified in tests);
+  * GCN's symmetric norm deg_i^-1/2 * deg_j^-1/2 is kept factored as
+    receiver-side and sender-side scales so the dense backend stays a
+    pure matmul;
   * per-hop projections are (K, d_in, d_out) einsums so XLA batches them
     onto the MXU in one call;
   * BatchNorms inside layer MLPs are masked so padding never pollutes the
@@ -25,12 +29,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.segment import khop_aggregate, multi_hop_degree
+from ..ops.adjacency import (
+    Adjacency,
+    degree,
+    khop_aggregate_adj,
+)
 from .basic import MLP, TorchLinear
 from .combine import make_combine
-from .embed import PaddedEmbed
-from .inits import fan_in_uniform_bias, kaiming_uniform
-from .norms import MaskedBatchNorm
+from .inits import fan_in_uniform_bias, kaiming_uniform, normal_init
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
@@ -38,48 +44,32 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(norm, eps)
 
 
-class _KPEdgeEmbeds(nn.Module):
-    """Shared edge/path embedding block: hop-1 edge type + hop-k walk
-    encodings + node path encoding (reference: layers/KPGIN.py:49-53).
+def _edge_tables(mod: nn.Module, K: int, width: int, num_hop1_edge: int,
+                 num_pe: int):
+    """Edge/path embedding tables (reference: layers/KPGIN.py:49-53).
+    Row 0 is the mask value and is zeroed at use (padding_idx semantics)."""
+    t1 = mod.param("hop1_edge_emb", normal_init(), (num_hop1_edge + 2, width))
+    tk = tpe = None
+    if K > 1:
+        tk = mod.param("hopk_edge_emb", normal_init(), (num_pe + 2, width))
+        tpe = mod.param("hopk_node_path_emb", normal_init(), (num_pe, width))
+    return t1, tk, tpe
 
-    With `with_self_loop`, also returns the (K, width) embedding of attr
-    value 1 on each hop column (the GCN self-loop row), reusing the same
-    tables.
-    """
 
-    K: int
-    width: int
-    num_hop1_edge: int
-    num_pe: int
-    with_self_loop: bool = False
+def _add_path_encoding(x_hops, tpe, pe_attr):
+    """x[:, 1:] += pe_emb(pe_attr) (reference: layers/KPGIN.py:92-94)."""
+    if tpe is None or pe_attr is None:
+        return x_hops
+    table = tpe.at[0].set(0.0)
+    return x_hops.at[:, 1:].add(table[pe_attr])
 
-    @nn.compact
-    def __call__(self, x_hops, edge_attr, pe_attr):
-        hop1 = PaddedEmbed(self.num_hop1_edge + 2, self.width,
-                           name="hop1_edge_emb")
-        e1 = hop1(edge_attr[:, :1])
-        self_emb = None
-        one = jnp.asarray(1, jnp.int32)
-        if self.K > 1:
-            if pe_attr is not None:
-                pe = PaddedEmbed(self.num_pe, self.width,
-                                 name="hopk_node_path_emb")(pe_attr)
-                x_hops = x_hops.at[:, 1:].add(pe)
-            hopk = PaddedEmbed(self.num_pe + 2, self.width,
-                               name="hopk_edge_emb")
-            ek = hopk(edge_attr[:, 1:])
-            e_emb = jnp.concatenate([e1, ek], axis=-2)
-            if self.with_self_loop:
-                self_emb = jnp.concatenate(
-                    [hop1(one)[None],
-                     jnp.tile(hopk(one)[None], (self.K - 1, 1))], axis=0)
-        else:
-            e_emb = e1
-            if self.with_self_loop:
-                self_emb = hop1(one)[None]
-        if self.with_self_loop:
-            return x_hops, e_emb, self_emb
-        return x_hops, e_emb
+
+def _self_loop_row(t1, tk, K):
+    """(K, width) embedding of attr value 1 on every hop column."""
+    if K > 1:
+        return jnp.concatenate(
+            [t1[1][None], jnp.tile(tk[1][None], (K - 1, 1))], axis=0)
+    return t1[1][None]
 
 
 class KPGINConv(nn.Module):
@@ -97,24 +87,22 @@ class KPGINConv(nn.Module):
     train_eps: bool = False
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr,
-                 pe_attr=None, peripheral_attr=None,
-                 node_mask=None, edge_mask=None, train: bool = False):
+    def __call__(self, x, adj: Adjacency, pe_attr=None, peripheral_attr=None,
+                 node_mask=None, train: bool = False):
         K, H = self.K, self.hidden_size
         assert H % K == 0, "hidden_size must divide by K"
         dk = H // K
         x = x.reshape(-1, K, dk)
 
-        x, e_emb = _KPEdgeEmbeds(K, dk, self.num_hop1_edge, self.num_pe,
-                                 name="edge_embeds")(x, edge_attr, pe_attr)
-        x_n = khop_aggregate(x, senders, receivers, e_emb, edge_attr)
+        t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
+                                   self.num_pe)
+        x = _add_path_encoding(x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
 
-        if self.train_eps:
-            eps = self.param("eps", nn.initializers.zeros, ())
-        else:
-            eps = 0.0
+        eps = (self.param("eps", nn.initializers.zeros, ())
+               if self.train_eps else 0.0)
         h = x_n + (1.0 + eps) * x
 
         w1 = self.param("hop_proj1", kaiming_uniform(), (K, dk, dk))
@@ -146,25 +134,26 @@ class KPGCNConv(nn.Module):
     combine: str = "geometric"
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr,
-                 pe_attr=None, peripheral_attr=None,
-                 node_mask=None, edge_mask=None, train: bool = False):
+    def __call__(self, x, adj: Adjacency, pe_attr=None, peripheral_attr=None,
+                 node_mask=None, train: bool = False):
         K, H = self.K, self.hidden_size
         assert H % K == 0
         dk = H // K
         n = x.shape[0]
 
         x = TorchLinear(H, name="hop_proj")(x).reshape(n, K, dk)
-        x, e_emb, self_emb = _KPEdgeEmbeds(
-            K, dk, self.num_hop1_edge, self.num_pe, with_self_loop=True,
-            name="edge_embeds")(x, edge_attr, pe_attr)
+        t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
+                                   self.num_pe)
+        x = _add_path_encoding(x, tpe, pe_attr)
 
-        deg = multi_hop_degree(edge_attr, receivers, n, add_self_loop=True)
-        dis = jax.lax.rsqrt(deg)                                   # (N, K)
-        norm = dis[senders] * dis[receivers]                       # (E, K)
-        agg = khop_aggregate(x, senders, receivers, e_emb, edge_attr,
-                             scale=norm)
+        deg = degree(adj, add_self_loop=True)               # (N, K)
+        dis = jax.lax.rsqrt(deg)
+        agg = khop_aggregate_adj(adj, x, t1, tk,
+                                 scale=dis, sender_scale=dis)
         # analytic self-loop: edge (i, i) with attr 1 on every hop column
+        self_emb = _self_loop_row(t1.at[0].set(0.0),
+                                  tk.at[0].set(0.0) if tk is not None else None,
+                                  K)
         agg = agg + (1.0 / deg)[..., None] * (x + self_emb[None])
         h = nn.relu(agg)
 
@@ -193,21 +182,20 @@ class KPGraphSAGEConv(nn.Module):
     combine: str = "geometric"
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr,
-                 pe_attr=None, peripheral_attr=None,
-                 node_mask=None, edge_mask=None, train: bool = False):
+    def __call__(self, x, adj: Adjacency, pe_attr=None, peripheral_attr=None,
+                 node_mask=None, train: bool = False):
         K, H = self.K, self.hidden_size
         assert H % K == 0
         dk = H // K
         x = x.reshape(-1, K, dk)
-        x, e_emb = _KPEdgeEmbeds(K, dk, self.num_hop1_edge, self.num_pe,
-                                 name="edge_embeds")(x, edge_attr, pe_attr)
-        x_n = khop_aggregate(x, senders, receivers, e_emb, edge_attr,
-                             aggr=self.aggr, edge_mask=edge_mask)
+        t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
+                                   self.num_pe)
+        x = _add_path_encoding(x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk, aggr=self.aggr)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
 
-        h = jnp.concatenate([x, x_n], axis=-1)                    # (N, K, 2dk)
+        h = jnp.concatenate([x, x_n], axis=-1)                # (N, K, 2dk)
         w = self.param("hop_proj", kaiming_uniform(), (K, 2 * dk, dk))
         b = self.param("hop_bias", fan_in_uniform_bias(2 * dk * dk), (K, dk))
         h = jnp.einsum("nki,kio->nko", h, w) + b[None]
@@ -236,13 +224,13 @@ class KPGINPlusConv(nn.Module):
     combine: str = "geometric"
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr,
-                 pe_attr=None, peripheral_attr=None,
-                 node_mask=None, edge_mask=None, train: bool = False):
+    def __call__(self, x, adj: Adjacency, pe_attr=None, peripheral_attr=None,
+                 node_mask=None, train: bool = False):
         K, H = self.K, self.hidden_size
-        x, e_emb = _KPEdgeEmbeds(K, H, self.num_hop1_edge, self.num_pe,
-                                 name="edge_embeds")(x, edge_attr, pe_attr)
-        x_n = khop_aggregate(x, senders, receivers, e_emb, edge_attr)
+        t1, tk, tpe = _edge_tables(self, K, H, self.num_hop1_edge,
+                                   self.num_pe)
+        x = _add_path_encoding(x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk)
         x_n = jax.nn.gelu(x_n, approximate=False)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
@@ -262,13 +250,14 @@ class GINEConv(nn.Module):
     train_eps: bool = False
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr,
-                 node_mask=None, edge_mask=None, train: bool = False):
+    def __call__(self, x, adj: Adjacency, node_mask=None,
+                 train: bool = False):
         H = self.hidden_size
         x = x.reshape(-1, 1, H)
-        e_emb = PaddedEmbed(self.num_hop1_edge + 2, H,
-                            name="hop1_edge_emb")(edge_attr)
-        out = khop_aggregate(x, senders, receivers, e_emb, edge_attr)
+        t1 = self.param("hop1_edge_emb", normal_init(),
+                        (self.num_hop1_edge + 2, H))
+        adj1 = adj.slice_hops(1)
+        out = khop_aggregate_adj(adj1, x, t1, None)
         if self.train_eps:
             eps = self.param(
                 "eps", lambda *_: jnp.asarray(self.eps_init, jnp.float32), ())

@@ -12,11 +12,19 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..graph.batch import BucketSpec, GraphBatch, collate
+from ..graph.batch import BucketSpec, GraphBatch, collate, collate_dense
 from ..graph.data import Graph
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 class GraphLoader:
+    """mode="coo" for general graphs; mode="dense" routes small graphs
+    (n <= n_slot) through the MXU matmul backend — v1/vk must then match
+    the model's num_hop1_edge+2 / max_pe_num+2 vocab sizes."""
+
     def __init__(
         self,
         graphs: Sequence[Graph],
@@ -28,6 +36,10 @@ class GraphLoader:
         spec: Optional[BucketSpec] = None,
         y_is_node_level: bool = False,
         drop_last: bool = False,
+        mode: str = "coo",
+        n_slot: Optional[int] = None,
+        v1: Optional[int] = None,
+        vk: Optional[int] = None,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -35,19 +47,30 @@ class GraphLoader:
         self.rng = np.random.default_rng(seed)
         self.y_is_node_level = y_is_node_level
         self.drop_last = drop_last
+        self.mode = mode
         spec = spec or BucketSpec()
 
-        if n_pad is None or e_pad is None:
-            # worst case: batch_size largest graphs end up together
-            ns = sorted((g.num_nodes for g in self.graphs), reverse=True)
-            es = sorted((g.num_edges for g in self.graphs), reverse=True)
-            worst_n = sum(ns[:batch_size])
-            worst_e = sum(es[:batch_size])
-            dn, de = spec.pad_sizes(worst_n, worst_e)
-            n_pad = n_pad if n_pad is not None else dn
-            e_pad = e_pad if e_pad is not None else de
-        self.n_pad, self.e_pad = n_pad, e_pad
-        self.g_pad = batch_size + 1
+        if mode == "dense":
+            if v1 is None or vk is None:
+                raise ValueError("dense mode needs v1/vk vocab sizes")
+            max_n = max(g.num_nodes for g in self.graphs)
+            self.n_slot = n_slot if n_slot is not None else _round_up(max_n, 8)
+            if max_n > self.n_slot:
+                raise ValueError(f"n_slot {self.n_slot} < largest graph {max_n}")
+            self.v1, self.vk = v1, vk
+            self.g_pad = batch_size
+        else:
+            if n_pad is None or e_pad is None:
+                # worst case: batch_size largest graphs end up together
+                ns = sorted((g.num_nodes for g in self.graphs), reverse=True)
+                es = sorted((g.num_edges for g in self.graphs), reverse=True)
+                worst_n = sum(ns[:batch_size])
+                worst_e = sum(es[:batch_size])
+                dn, de = spec.pad_sizes(worst_n, worst_e)
+                n_pad = n_pad if n_pad is not None else dn
+                e_pad = e_pad if e_pad is not None else de
+            self.n_pad, self.e_pad = n_pad, e_pad
+            self.g_pad = batch_size + 1
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -64,6 +87,11 @@ class GraphLoader:
         for i in range(n_batches):
             idx = order[i * bs:(i + 1) * bs]
             batch_graphs = [self.graphs[j] for j in idx]
-            yield collate(
-                batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
-                g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+            if self.mode == "dense":
+                yield collate_dense(
+                    batch_graphs, n_slot=self.n_slot, v1=self.v1, vk=self.vk,
+                    g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+            else:
+                yield collate(
+                    batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
+                    g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

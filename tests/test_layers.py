@@ -42,22 +42,20 @@ def test_kpgin_matches_numpy_oracle():
 
     conv = KPGINConv(hidden_size=K * dk, K=K, num_hop1_edge=4, num_pe=6)
     pa = jnp.zeros((16, K, dk)).at[:n].set(peripheral)
-    v = conv.init(jax.random.PRNGKey(1), b.x, b.senders, b.receivers,
-                  b.edge_attr, b.pe_attr, pa)
-    out = np.asarray(conv.apply(v, b.x, b.senders, b.receivers,
-                                b.edge_attr, b.pe_attr, pa))[:n]
+    v = conv.init(jax.random.PRNGKey(1), b.x, b.adj, b.pe_attr, pa)
+    out = np.asarray(conv.apply(v, b.x, b.adj, b.pe_attr, pa))[:n]
 
     p = jax.tree.map(np.asarray, v["params"])
-    emb = p["edge_embeds"]
+    emb = p
 
     def tab(t):  # padding row 0 forced to zero
         t = t.copy()
         t[0] = 0
         return t
 
-    hop1 = tab(emb["hop1_edge_emb"]["embedding"])
-    hopk = tab(emb["hopk_edge_emb"]["embedding"])
-    pemb = tab(emb["hopk_node_path_emb"]["embedding"])
+    hop1 = tab(emb["hop1_edge_emb"])
+    hopk = tab(emb["hopk_edge_emb"])
+    pemb = tab(emb["hopk_node_path_emb"])
 
     xh = x.reshape(n, K, dk).copy()
     xh[:, 1:] += pemb[pe]
@@ -92,22 +90,20 @@ def test_kpgcn_matches_explicit_self_loop_oracle():
 
     conv = KPGCNConv(hidden_size=K * dk, K=K, num_hop1_edge=4, num_pe=6)
     pa = jnp.zeros((16, K, dk)).at[:n].set(peripheral)
-    v = conv.init(jax.random.PRNGKey(2), b.x, b.senders, b.receivers,
-                  b.edge_attr, b.pe_attr, pa)
-    out = np.asarray(conv.apply(v, b.x, b.senders, b.receivers,
-                                b.edge_attr, b.pe_attr, pa))[:n]
+    v = conv.init(jax.random.PRNGKey(2), b.x, b.adj, b.pe_attr, pa)
+    out = np.asarray(conv.apply(v, b.x, b.adj, b.pe_attr, pa))[:n]
 
     p = jax.tree.map(np.asarray, v["params"])
-    emb = p["edge_embeds"]
+    emb = p
 
     def tab(t):
         t = t.copy()
         t[0] = 0
         return t
 
-    hop1 = tab(emb["hop1_edge_emb"]["embedding"])
-    hopk = tab(emb["hopk_edge_emb"]["embedding"])
-    pemb = tab(emb["hopk_node_path_emb"]["embedding"])
+    hop1 = tab(emb["hop1_edge_emb"])
+    hopk = tab(emb["hopk_edge_emb"])
+    pemb = tab(emb["hopk_node_path_emb"])
 
     # explicit self-loop edges
     ei2 = np.concatenate([ei, np.stack([np.arange(n)] * 2)], axis=1)
@@ -205,8 +201,6 @@ def test_padding_invariance():
         b = collate([g], n_pad=n_pad, e_pad=e_pad, g_pad=2)
         pa = jnp.zeros((n_pad, K, dk)).at[:n].set(peripheral)
         if v is None:
-            v = conv.init(jax.random.PRNGKey(7), b.x, b.senders, b.receivers,
-                          b.edge_attr, b.pe_attr, pa)
-        outs.append(np.asarray(conv.apply(
-            v, b.x, b.senders, b.receivers, b.edge_attr, b.pe_attr, pa))[:n])
+            v = conv.init(jax.random.PRNGKey(7), b.x, b.adj, b.pe_attr, pa)
+        outs.append(np.asarray(conv.apply(v, b.x, b.adj, b.pe_attr, pa))[:n])
     assert np.allclose(outs[0], outs[1], atol=1e-5)
