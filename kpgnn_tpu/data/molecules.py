@@ -1,0 +1,117 @@
+"""ZINC and QM9 molecular dataset loaders
+(reference: datasets/ZINC_dataset.py, datasets/QM9Dataset.py).
+
+Both parse the standard raw artifacts when present on disk (this
+environment has no network egress, so there is no downloader):
+
+* ZINC: <root>/raw/{split}.pickle (+ {split}.index for the 12k subset) —
+  the Dropbox molecules bundle every ZINC implementation uses.  Bond
+  types are offset by +1 so values start at 2 (prep contract:
+  0 = mask, 1 = self-loop, reference: train_ZINC.py:96-99).
+* QM9: <root>/raw/qm9_v3.pt (PyG's preprocessed tensor dump; the rdkit
+  path is not supported here).  Targets are reordered [3:]+[0:3] and
+  unit-converted exactly like the reference
+  (reference: datasets/QM9Dataset.py:20-26,222-223).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+HAR2EV = 27.211386246
+KCALMOL2EV = 0.04336414
+
+QM9_CONVERSION = np.array([
+    1., 1., HAR2EV, HAR2EV, HAR2EV, 1., HAR2EV, HAR2EV, HAR2EV, HAR2EV,
+    HAR2EV, 1., KCALMOL2EV, KCALMOL2EV, KCALMOL2EV, KCALMOL2EV, 1., 1., 1.
+], dtype=np.float64)
+
+
+def _np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_zinc(root: str, subset: bool = True,
+              splits=("train", "val", "test")) -> Dict[str, List[dict]]:
+    """Returns {split: [raw graph dicts]} with x = atom-type codes,
+    edge_attr = bond type + 1 (>= 2), y = penalized logP."""
+    raw = os.path.join(root, "raw")
+    if not os.path.exists(os.path.join(raw, "train.pickle")):
+        raise FileNotFoundError(
+            f"ZINC raw data not found under {raw}: expected "
+            "{train,val,test}.pickle (+ .index for the subset); place the "
+            "ZINC molecules bundle there")
+    out: Dict[str, List[dict]] = {}
+    for split in splits:
+        with open(os.path.join(raw, f"{split}.pickle"), "rb") as f:
+            mols = pickle.load(f)
+        indices = range(len(mols))
+        idx_path = os.path.join(raw, f"{split}.index")
+        if subset and os.path.exists(idx_path):
+            with open(idx_path) as f:
+                indices = [int(x) for x in f.read().strip().rstrip(",").split(",")]
+        graphs = []
+        for i in indices:
+            mol = mols[i]
+            x = _np(mol["atom_type"]).astype(np.int64).reshape(-1, 1)
+            y = np.asarray(_np(mol["logP_SA_cycle_normalized"]),
+                           np.float32).reshape(-1)[:1]
+            adj = _np(mol["bond_type"])
+            u, v = np.nonzero(adj)
+            # +1 offset keeps 0/1 reserved (reference: train_ZINC.py:96-99)
+            ea = adj[u, v].astype(np.int64) + 1
+            graphs.append({
+                "num_nodes": int(x.shape[0]),
+                "edge_index": np.stack([u, v]).astype(np.int64),
+                "edge_attr": ea,
+                "x": x,
+                "y": y,
+            })
+        out[split] = graphs
+    return out
+
+
+def load_qm9(root: str) -> List[dict]:
+    """Returns raw graph dicts with x (11 continuous features), z (atom
+    codes), pos, edge_attr (bond type + 2), y (19 reordered, converted
+    targets)."""
+    import torch  # cpu build, used only to read the tensor dump
+
+    path = os.path.join(root, "raw", "qm9_v3.pt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"QM9 preprocessed dump not found at {path}; place PyG's "
+            "qm9_v3.pt there (the rdkit raw path is not supported)")
+    data_list = torch.load(path, weights_only=False)
+    graphs = []
+    for d in data_list:
+        if not isinstance(d, dict):
+            d = d.__dict__
+        ei = _np(d["edge_index"]).astype(np.int64)
+        # qm9_v3 stores one-hot bond types; code = argmax, then +2 offset
+        ea = _np(d["edge_attr"])
+        ea = (ea.argmax(axis=1) if ea.ndim == 2 else ea).astype(np.int64) + 2
+        y = _np(d["y"]).astype(np.float64).reshape(-1)[:19]
+        graphs.append({
+            "num_nodes": int(_np(d["x"]).shape[0]),
+            "edge_index": ei,
+            "edge_attr": ea,
+            "x": _np(d["x"]).astype(np.float32),
+            "z": _np(d["z"]).astype(np.int64),
+            "pos": _np(d["pos"]).astype(np.float32),
+            "y": y.astype(np.float32),
+        })
+    return graphs
+
+
+def qm9_reorder_and_convert(target: np.ndarray) -> np.ndarray:
+    """Raw 19-target row -> reference ordering and units
+    (reference: datasets/QM9Dataset.py:222-223)."""
+    t = np.concatenate([target[3:], target[:3]])
+    return t * QM9_CONVERSION
