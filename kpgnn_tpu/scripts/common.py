@@ -1,0 +1,175 @@
+"""Shared CLI plumbing for the training scripts.
+
+One argparse surface covering the union of the reference's per-script
+flags (reference: train_ZINC.py:103-166 and siblings), mapped into the
+typed KHopConfig / ModelConfig / TrainConfig triple.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+from ..models.factory import ModelConfig
+from ..prep.khop import KHopConfig
+from ..train.config import TrainConfig
+from ..utils.logging import get_logger, get_save_dir
+
+
+def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    d = {
+        "save_dir": "./save", "seed": 234, "drop_prob": 0.0,
+        "batch_size": 32, "lr": 1e-3, "min_lr": 1e-6, "l2_wd": 0.0,
+        "num_epochs": 100, "kernel": "spd", "hidden_size": 48,
+        "model_name": "KPGIN", "K": 3, "max_pe_num": 30, "max_edge_type": 1,
+        "max_edge_count": 10, "max_hop_num": 3, "max_distance_count": 10,
+        "num_hop1_edge": 1, "num_layer": 2, "JK": "last", "combine":
+        "geometric", "pooling_method": "sum", "norm_type": "Batch",
+        "aggr": "mean", "factor": 0.5, "patience": 10, "runs": 1,
+        "num_l1_layer": 1, "eps": 0.0, "num_workers": 0,
+    }
+    d.update(defaults)
+    p.add_argument("--save_dir", type=str, default=d["save_dir"])
+    p.add_argument("--dataset_dir", type=str, default="./data")
+    p.add_argument("--seed", type=int, default=d["seed"])
+    p.add_argument("--drop_prob", type=float, default=d["drop_prob"])
+    p.add_argument("--batch_size", type=int, default=d["batch_size"])
+    p.add_argument("--num_workers", type=int, default=d["num_workers"])
+    p.add_argument("--lr", type=float, default=d["lr"])
+    p.add_argument("--min_lr", type=float, default=d["min_lr"])
+    p.add_argument("--l2_wd", type=float, default=d["l2_wd"])
+    p.add_argument("--num_epochs", type=int, default=d["num_epochs"])
+    p.add_argument("--kernel", type=str, default=d["kernel"],
+                   choices=("gd", "spd"))
+    p.add_argument("--hidden_size", type=int, default=d["hidden_size"])
+    p.add_argument("--model_name", type=str, default=d["model_name"],
+                   choices=("KPGCN", "KPGIN", "KPGraphSAGE", "KPGINPlus",
+                            "KPGINPrime"))
+    p.add_argument("--K", type=int, default=d["K"])
+    p.add_argument("--max_pe_num", type=int, default=d["max_pe_num"])
+    p.add_argument("--max_edge_type", type=int, default=d["max_edge_type"])
+    p.add_argument("--max_edge_count", type=int, default=d["max_edge_count"])
+    p.add_argument("--max_hop_num", type=int, default=d["max_hop_num"])
+    p.add_argument("--max_distance_count", type=int,
+                   default=d["max_distance_count"])
+    p.add_argument("--num_hop1_edge", type=int, default=d["num_hop1_edge"])
+    p.add_argument("--num_layer", type=int, default=d["num_layer"])
+    p.add_argument("--num_l1_layer", type=int, default=d["num_l1_layer"])
+    p.add_argument("--JK", type=str, default=d["JK"],
+                   choices=("last", "concat", "max", "sum", "attention"))
+    p.add_argument("--combine", type=str, default=d["combine"],
+                   choices=("attention", "geometric"))
+    p.add_argument("--pooling_method", type=str, default=d["pooling_method"],
+                   choices=("mean", "sum", "max", "attention"))
+    p.add_argument("--norm_type", type=str, default=d["norm_type"],
+                   choices=("Batch", "Layer", "Instance", "GraphSize", "Pair"))
+    p.add_argument("--aggr", type=str, default=d["aggr"])
+    p.add_argument("--factor", type=float, default=d["factor"])
+    p.add_argument("--patience", type=int, default=d["patience"])
+    p.add_argument("--runs", type=int, default=d["runs"])
+    p.add_argument("--eps", type=float, default=d["eps"])
+    p.add_argument("--virtual_node", action="store_true")
+    p.add_argument("--residual", action="store_true")
+    p.add_argument("--use_rd", action="store_true")
+    p.add_argument("--train_eps", action="store_true")
+    p.add_argument("--wo_peripheral_edge", action="store_true")
+    p.add_argument("--wo_peripheral_configuration", action="store_true")
+    p.add_argument("--wo_path_encoding", action="store_true")
+    p.add_argument("--wo_edge_feature", action="store_true")
+    p.add_argument("--reprocess", action="store_true")
+    p.add_argument("--dense", action="store_true",
+                   help="use the dense MXU adjacency backend")
+    p.add_argument("--parallel", action="store_true",
+                   help="data-parallel over all visible devices")
+    return p
+
+
+def khop_config(args, use_rd: Optional[bool] = None) -> KHopConfig:
+    return KHopConfig(
+        K=args.K, kernel=args.kernel, max_edge_attr_num=args.max_pe_num,
+        max_hop_num=args.max_hop_num, max_edge_type=args.max_edge_type,
+        max_edge_count=args.max_edge_count,
+        max_distance_count=args.max_distance_count,
+        use_rd=args.use_rd if use_rd is None else use_rd,
+    )
+
+
+def model_config(args, input_encoder, task, output_size,
+                 num_hop1_edge: Optional[int] = None) -> ModelConfig:
+    return ModelConfig(
+        model_name=args.model_name, hidden_size=args.hidden_size,
+        num_layer=args.num_layer, K=args.K, kernel=args.kernel,
+        combine=args.combine, aggr=args.aggr, JK=args.JK,
+        norm_type=args.norm_type, virtual_node=args.virtual_node,
+        residual=args.residual, use_rd=args.use_rd,
+        drop_prob=args.drop_prob, eps=args.eps, train_eps=args.train_eps,
+        num_l1_layer=args.num_l1_layer,
+        num_hop1_edge=(num_hop1_edge if num_hop1_edge is not None
+                       else args.num_hop1_edge),
+        max_pe_num=args.max_pe_num, max_edge_type=args.max_edge_type,
+        max_edge_count=args.max_edge_count, max_hop_num=args.max_hop_num,
+        max_distance_count=args.max_distance_count,
+        wo_peripheral_edge=args.wo_peripheral_edge,
+        wo_peripheral_configuration=args.wo_peripheral_configuration,
+        wo_path_encoding=args.wo_path_encoding,
+        wo_edge_feature=args.wo_edge_feature,
+        input_encoder=input_encoder, task=task,
+        pooling_method=args.pooling_method, output_size=output_size,
+    )
+
+
+def train_config(args, loss: str, stop_at_min_lr: bool = False) -> TrainConfig:
+    return TrainConfig(
+        lr=args.lr, min_lr=args.min_lr, l2_wd=args.l2_wd,
+        num_epochs=args.num_epochs, batch_size=args.batch_size,
+        seed=args.seed, runs=args.runs, factor=args.factor,
+        patience=args.patience, loss=loss, stop_at_min_lr=stop_at_min_lr,
+        save_dir=args.save_dir,
+    )
+
+
+def run_name(args, dataset: str) -> str:
+    return (f"{dataset}_{args.model_name}_{args.kernel}_K{args.K}"
+            f"_L{args.num_layer}_h{args.hidden_size}_{args.combine}")
+
+
+def setup_run(args, dataset: str):
+    name = run_name(args, dataset)
+    save_dir = get_save_dir(args.save_dir, name)
+    logger = get_logger(save_dir, name)
+    logger.info(json.dumps(vars(args), indent=2, default=str))
+    return save_dir, logger
+
+
+def prepare(raw_graphs, args, cache_name: str):
+    """k-hop preprocessing with caching + runtime ablation clamps
+    (reference pre_transform + post_transform composition,
+    train_ZINC.py:190-217)."""
+    import os
+
+    from ..prep import apply_ablation_clamps, preprocess_graphs
+
+    cfg = khop_config(args)
+    graphs = preprocess_graphs(
+        raw_graphs, cfg,
+        cache_dir=os.path.join(args.dataset_dir, "cache"),
+        name=cache_name, num_workers=args.num_workers,
+        reprocess=args.reprocess)
+    if args.wo_path_encoding or args.wo_edge_feature:
+        graphs = [apply_ablation_clamps(g, args.wo_path_encoding,
+                                        args.wo_edge_feature)
+                  for g in graphs]
+    return graphs
+
+
+def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
+    """Loader mode kwargs; --dense needs the model vocab sizes."""
+    if not args.dense:
+        return {"mode": "coo"}
+    return {
+        "mode": "dense",
+        "v1": mcfg.num_hop1_edge + 2,
+        "vk": mcfg.max_pe_num + 2,
+    }

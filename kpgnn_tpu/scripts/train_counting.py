@@ -1,0 +1,62 @@
+"""Substructure counting (reference: train_structure_counting.py).
+
+Tasks 0..4: triangle / tailed-triangle / 3-star / 4-cycle / custom.
+L1 on labels standardized by the train-split std
+(reference: train_structure_counting.py:203); best-val -> test.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..data import generate_counting_dataset
+from ..models import make_model
+from ..train import GraphLoader, Trainer
+from .common import (base_parser, loader_kwargs, model_config, prepare,
+                     setup_run, train_config)
+
+
+def main(argv=None):
+    p = base_parser("substructure counting", model_name="KPGIN", K=3,
+                    hidden_size=96, num_layer=3, num_epochs=200,
+                    batch_size=64, kernel="gd", max_pe_num=30,
+                    max_hop_num=3, max_edge_type=1, max_edge_count=20,
+                    max_distance_count=30, runs=1)
+    p.add_argument("--task", type=int, default=0, choices=range(5))
+    p.add_argument("--n_graphs", type=int, default=1500)
+    args = p.parse_args(argv)
+    save_dir, logger = setup_run(args, f"count{args.task}")
+
+    data = generate_counting_dataset(args.n_graphs, seed=1234)
+    t = args.task
+    ystd = np.std([g["y"][t] for g in data["train"]])
+    for split in data.values():
+        for g in split:
+            g["y"] = np.array([g["y"][t] / ystd], np.float32)
+    prepped = {k: prepare(v, args, f"count_{k}_{args.n_graphs}")
+               for k, v in data.items()}
+
+    mcfg = model_config(args, input_encoder=("embedding", 2),
+                        task="graph_regression", output_size=1)
+    model = make_model(mcfg)
+    lk = loader_kwargs(args, mcfg, prepped["train"])
+
+    maes = []
+    for run in range(args.runs):
+        tl = GraphLoader(prepped["train"], args.batch_size, shuffle=True,
+                         seed=args.seed + run, **lk)
+        vl = GraphLoader(prepped["val"], args.batch_size, **lk)
+        el = GraphLoader(prepped["test"], args.batch_size, **lk)
+        trainer = Trainer(model, train_config(args, "l1"),
+                          loss="l1", metric_mode="min", logger=logger)
+        _, res = trainer.fit(tl, vl, el,
+                             rng=jax.random.PRNGKey(args.seed + run))
+        maes.append(res["best_test"].get("loss", float("nan")))
+        logger.info(f"run {run}: test MAE {maes[-1]:.5f}")
+    logger.info(f"task {t} std-normalized MAE: "
+                f"{np.mean(maes):.5f} +- {np.std(maes):.5f}")
+    return float(np.mean(maes))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""EXP / CEXP 1-WL-pair discrimination (reference: train_EXP.py).
+
+Each consecutive pair of graphs is 1-WL-indistinguishable with opposite
+SAT labels; a KP-GNN with adequate K must reach ~100% accuracy, so this
+doubles as an expressiveness correctness check.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..data import load_exp_pickle, load_exp_txt
+from ..models import make_model
+from ..train import GraphLoader, Trainer
+from .common import (base_parser, loader_kwargs, model_config, prepare,
+                     setup_run, train_config)
+
+
+def load_raw(args):
+    import os
+    if args.dataset_name == "EXP":
+        return load_exp_pickle(
+            os.path.join(args.dataset_dir, "EXP", "raw", "GRAPHSAT.pkl"))
+    return load_exp_txt(
+        os.path.join(args.dataset_dir, "CEXP", "GRAPHSAT.txt"))
+
+
+def main(argv=None):
+    p = base_parser("EXP expressiveness", model_name="KPGIN", K=3,
+                    hidden_size=48, num_layer=2, num_epochs=40,
+                    batch_size=32, max_pe_num=30, max_edge_type=1,
+                    max_edge_count=10, max_hop_num=3, max_distance_count=10)
+    p.add_argument("--dataset_name", type=str, default="EXP",
+                   choices=("EXP", "CEXP"))
+    p.add_argument("--folds", type=int, default=10)
+    args = p.parse_args(argv)
+    save_dir, logger = setup_run(args, args.dataset_name)
+
+    raw = load_raw(args)
+    graphs = prepare(raw, args, args.dataset_name)
+    mcfg = model_config(args, input_encoder=("embedding", 2),
+                        task="graph_classification", output_size=2)
+    model = make_model(mcfg)
+    lk = loader_kwargs(args, mcfg, graphs)
+
+    n = len(graphs)
+    idx = np.arange(n)
+    accs = []
+    for fold in range(args.folds):
+        test = idx[idx % args.folds == fold]
+        val = idx[idx % args.folds == (fold + 1) % args.folds]
+        train = idx[(idx % args.folds != fold) &
+                    (idx % args.folds != (fold + 1) % args.folds)]
+        tl = GraphLoader([graphs[i] for i in train], args.batch_size,
+                         shuffle=True, seed=args.seed + fold, **lk)
+        vl = GraphLoader([graphs[i] for i in val], args.batch_size, **lk)
+        el = GraphLoader([graphs[i] for i in test], args.batch_size, **lk)
+        trainer = Trainer(model, train_config(args, "cross_entropy"),
+                          loss="cross_entropy", metric_mode="max",
+                          logger=logger)
+        _, res = trainer.fit(tl, vl, el,
+                             rng=jax.random.PRNGKey(args.seed + fold))
+        acc = res["best_test"].get("accuracy", 0.0)
+        accs.append(acc)
+        logger.info(f"fold {fold}: test acc {acc:.4f}")
+    logger.info(f"{args.dataset_name}: {np.mean(accs):.4f} +- {np.std(accs):.4f}")
+    return float(np.mean(accs))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Graph property regression (reference: train_graph_property.py).
+
+Tasks 0..2: is_connected / diameter / spectral_radius.  MSE loss,
+reported as log10(MSE) (reference: train_graph_property.py:49-63).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+
+from ..data import generate_property_dataset
+from ..models import make_model
+from ..train import GraphLoader, Trainer
+from .common import (base_parser, loader_kwargs, model_config, prepare,
+                     setup_run, train_config)
+
+
+def main(argv=None):
+    p = base_parser("graph property", model_name="KPGIN", K=6,
+                    hidden_size=96, num_layer=6, num_epochs=250,
+                    batch_size=64, max_pe_num=30, max_hop_num=4,
+                    max_edge_type=1, max_edge_count=20,
+                    max_distance_count=30, lr=1e-3, runs=1)
+    p.add_argument("--task", type=int, default=0, choices=range(3))
+    args = p.parse_args(argv)
+    save_dir, logger = setup_run(args, f"gprop{args.task}")
+
+    data = generate_property_dataset(seed=1234)
+    t = args.task
+    for split in data.values():
+        for g in split:
+            g["y"] = np.array([g["y"][t]], np.float32)
+            g.pop("node_y", None)
+    prepped = {k: prepare(v, args, f"gprop_{k}") for k, v in data.items()}
+
+    mcfg = model_config(args, input_encoder=("linear", 2),
+                        task="graph_regression", output_size=1)
+    model = make_model(mcfg)
+    lk = loader_kwargs(args, mcfg, prepped["train"])
+
+    scores = []
+    for run in range(args.runs):
+        tl = GraphLoader(prepped["train"], args.batch_size, shuffle=True,
+                         seed=args.seed + run, **lk)
+        vl = GraphLoader(prepped["val"], args.batch_size, **lk)
+        el = GraphLoader(prepped["test"], args.batch_size, **lk)
+        trainer = Trainer(model, train_config(args, "mse"),
+                          loss="mse", metric_mode="min", logger=logger)
+        _, res = trainer.fit(tl, vl, el,
+                             rng=jax.random.PRNGKey(args.seed + run))
+        mse = res["best_test"].get("loss", float("nan"))
+        scores.append(math.log10(mse) if mse > 0 else float("-inf"))
+        logger.info(f"run {run}: test log10(MSE) {scores[-1]:.4f}")
+    logger.info(f"task {t} log10(MSE): "
+                f"{np.mean(scores):.4f} +- {np.std(scores):.4f}")
+    return float(np.mean(scores))
+
+
+if __name__ == "__main__":
+    main()

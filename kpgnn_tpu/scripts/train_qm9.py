@@ -1,0 +1,80 @@
+"""QM9 per-target regression (reference: train_qm9.py).
+
+One of 19 targets (the paper reports 12); MSE train loss on standardized
+targets, eval MAE x std (reference: train_qm9.py:96-115); 10/10/80
+val/test/train split after a seeded shuffle
+(reference: train_qm9.py:244-263).  Canonical config: KPGINPlus K=8 L=8
+h=128 attention combine/pool --virtual_node --use_rd.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+
+from ..data import load_qm9
+from ..models import make_model
+from ..train import GraphLoader, Trainer
+from .common import (base_parser, loader_kwargs, model_config, prepare,
+                     setup_run, train_config)
+
+
+def main(argv=None):
+    p = base_parser("QM9 regression", model_name="KPGINPlus", K=8,
+                    hidden_size=128, num_layer=8, num_epochs=350,
+                    batch_size=128, JK="last", combine="attention",
+                    pooling_method="attention", num_hop1_edge=4,
+                    max_pe_num=50, max_edge_type=4, max_edge_count=50,
+                    max_hop_num=6, max_distance_count=50, lr=1e-3,
+                    patience=10)
+    p.add_argument("--task", type=int, default=0, choices=range(19))
+    p.add_argument("--use_pos", action="store_true")
+    args = p.parse_args(argv)
+    save_dir, logger = setup_run(args, f"QM9t{args.task}")
+
+    raw = load_qm9(os.path.join(args.dataset_dir, "QM9"))
+    graphs = prepare(raw, args, "QM9")
+
+    t = args.task
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(graphs))
+    n = len(graphs)
+    n_val, n_test = n // 10, n // 10
+    val_idx = order[:n_val]
+    test_idx = order[n_val:n_val + n_test]
+    train_idx = order[n_val + n_test:]
+
+    ys = np.array([float(np.asarray(graphs[i].y).reshape(-1)[t])
+                   for i in train_idx])
+    mean, std = ys.mean(), ys.std()
+
+    def with_target(idx):
+        out = []
+        for i in idx:
+            g = graphs[i]
+            yv = (float(np.asarray(g.y).reshape(-1)[t]) - mean) / std
+            out.append(g.replace(y=np.array([yv], np.float32)))
+        return out
+
+    mcfg = model_config(args, input_encoder=("qm9", int(args.use_pos)),
+                        task="graph_regression", output_size=1)
+    model = make_model(mcfg)
+    train_graphs = with_target(train_idx)
+    lk = loader_kwargs(args, mcfg, train_graphs)
+
+    tl = GraphLoader(train_graphs, args.batch_size, shuffle=True,
+                     seed=args.seed, **lk)
+    vl = GraphLoader(with_target(val_idx), args.batch_size, **lk)
+    el = GraphLoader(with_target(test_idx), args.batch_size, **lk)
+    trainer = Trainer(model, train_config(args, "mse", stop_at_min_lr=True),
+                      loss="mse", metric_mode="min", eval_metric="mae",
+                      logger=logger)
+    _, res = trainer.fit(tl, vl, el, rng=jax.random.PRNGKey(args.seed))
+    mae = res["best_test"].get("mae", float("nan")) * std
+    logger.info(f"QM9 target {t}: test MAE (converted units) {mae:.5f}")
+    return float(mae)
+
+
+if __name__ == "__main__":
+    main()

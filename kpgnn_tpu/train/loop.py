@@ -31,8 +31,11 @@ def _masked_loss(pred, y, mask, loss: str):
         item = optax.softmax_cross_entropy_with_integer_labels(pred, y)
     else:
         y = y.astype(pred.dtype)
-        if pred.ndim > y.ndim:
-            y = y.reshape(pred.shape)
+        if y.shape != pred.shape:
+            if y.size == pred.size:
+                y = y.reshape(pred.shape)
+            else:
+                raise ValueError(f"pred {pred.shape} vs y {y.shape}")
         diff = pred - y
         item = jnp.abs(diff) if loss == "l1" else diff * diff
         if item.ndim > 1:
