@@ -219,12 +219,21 @@ def extract_khop(
     # only when inputs are duplicate-free, which all benchmark data is)
     edge_attr_adj[edge_index[0], edge_index[1]] = edge_attr
 
-    powers = adjacency_powers(adj, K)
-    if cfg.kernel == "gd":
-        hop_mats = powers
-        union = (powers.sum(axis=0) > 0).astype(np.int64)
+    from . import native
+    use_native = native.available() and num_nodes <= native.NATIVE_MAX_NODES
+    if use_native:
+        powers = native.adjacency_powers(adj, K)
+        if cfg.kernel == "gd":
+            hop_mats, union = powers, native.gd_union(powers)
+        else:
+            hop_mats, union = native.spd_mask(powers)
     else:
-        hop_mats, union = _spd_mask(powers)
+        powers = adjacency_powers(adj, K)
+        if cfg.kernel == "gd":
+            hop_mats = powers
+            union = (powers.sum(axis=0) > 0).astype(np.int64)
+        else:
+            hop_mats, union = _spd_mask(powers)
 
     u, v = np.nonzero(union)          # row-major == upstream edge iteration
     E = u.shape[0]
@@ -244,7 +253,13 @@ def extract_khop(
     if cfg.peripheral_enabled:
         pe_list, pc_list = [], []
         for k in range(K):
-            em, cm = _peripheral_for_hop(edge_attr_adj, hop_mats[k], cfg)
+            if use_native:
+                em, cm = native.peripheral_hop(
+                    edge_attr_adj, hop_mats[k], cfg.max_hop_num,
+                    cfg.max_edge_type, cfg.max_edge_count,
+                    cfg.max_distance_count)
+            else:
+                em, cm = _peripheral_for_hop(edge_attr_adj, hop_mats[k], cfg)
             pe_list.append(em)
             pc_list.append(cm)
         per_e = np.stack(pe_list, axis=1).astype(np.int32)   # (N, K, T, 2)
