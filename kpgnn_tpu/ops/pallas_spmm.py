@@ -1,35 +1,42 @@
-"""Pallas CSR k-hop SpMM: the sparse-path aggregation as a TPU kernel.
+"""Pallas CSR gather/segment-sum: the sparse k-hop aggregation on TPU.
 
-Computes, for receiver-sorted COO edges in CSR form,
+The k-hop aggregate
+    out[i, k, :] = sum_e live(attr[e,k]) * x[sender(e), k, :]
+                 + sum_e emb_k(attr[e,k])          (receiver(e) == i)
+splits into a data part and an embedding part.  The embedding part
+depends only on *how many* edges of each attr code enter a node, so it is
+a host-precomputed histogram matmul `counts @ table` (MXU, differentiable
+in the tables for free).  The data part is a pure gather + segment-sum —
+this module's Pallas kernel.
 
-    out[i, k, :] = sum over edges e with receiver(e) == i of
-                   live(attr[e,k]) * x[sender(e), k, :] + emb_k(attr[e,k])
+Two structural moves make the kernel MXU-shaped instead of
+gather/scatter-shaped:
 
-in one pass.  Design (see pallas_guide.md):
+* one *filtered, receiver-sorted* CSR per hop (for the SPD kernel every
+  union edge is live at exactly one hop, so the per-hop lists together
+  are no larger than the original edge list) — the per-(edge,hop) mask
+  disappears;
+* both the gather and the scatter become one-hot matmuls:
+      out_tile = one_hot(local_recv)^T @ (one_hot(sender) @ X)
+  with X resident in VMEM.  A TPU reads a random 512-byte row from HBM at
+  ~mu-s latency, so E row-DMAs are latency-bound; the one-hot contraction
+  runs at MXU rate and wins by orders of magnitude for any batch whose
+  node table fits VMEM (asserted).
 
-* grid over output row tiles (TILE_R receivers); the CSR indptr and the
-  sender ids ride in as scalar-prefetch so each step knows its edge range
-  and DMA targets before the body runs (PrefetchScalarGridSpec);
-* sender rows stream HBM -> VMEM via grouped async DMAs (the gather);
-* per-edge hop embeddings are computed in-kernel as
-  one_hot(attr) @ table on the MXU — table row 0 is zeroed so the hop
-  mask is free, and the (E, K, D) message tensor never materializes in
-  HBM (the XLA path materializes it; this kernel is the memory-optimal
-  form);
-* the within-tile segment sum is one_hot(local_receiver)^T @ msgs on the
-  MXU — no scatter anywhere.
+Grid: output row tiles; CSR indptr rides in as scalar prefetch
+(PrefetchScalarGridSpec); per-tile edge segments are host-padded to
+TILE_E multiples with null edges (sender = last padding row, forced zero)
+so sender chunks are lane-aligned rows of a 2-D array.
 
-The public entry `khop_spmm` wraps it in a custom VJP: dx reuses the same
-kernel on the transpose graph (CSC layout built at batch time, zero
-tables), table gradients are small dense matmuls left to XLA.
+Backward: dx is the same kernel on the transpose (sender-sorted) CSR.
 
 Reference semantics: layers/KPGIN.py:100,115-118 (masked message +
-scatter-add); this kernel is its speed-of-light TPU form.
+scatter-add inside PyG MessagePassing).
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,16 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 128          # receiver rows per grid step
 TILE_E = 128          # edges per inner chunk
-DMA_GROUP = 16        # concurrent row DMAs
+VMEM_X_LIMIT = 8 * 1024 * 1024   # max bytes of node table kept in VMEM
 
 
-class CSR(NamedTuple):
-    """Receiver-sorted edge layout (+ DMA slack rows at the tail)."""
+class HopCSR(NamedTuple):
+    """One hop's live edges, receiver-sorted, tile-aligned."""
 
-    indptr: jnp.ndarray      # (N+1,) int32 — edge range per receiver row
-    senders: jnp.ndarray     # (E_pad + slack,) int32
-    receivers: jnp.ndarray   # (E_pad + slack,) int32 (for XLA-side grads)
-    attr: jnp.ndarray        # (E_pad + slack, K) int32, 0 = hop absent
+    indptr: jnp.ndarray        # (N+1,) int32 into the padded edge list
+    senders: jnp.ndarray       # (E_pad,) int32, E_pad % TILE_E == 0
+    row_starts: jnp.ndarray    # (N, 1) int32 == indptr[:-1]
 
 
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
@@ -58,20 +64,12 @@ def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     return (codes[..., None] == iota).astype(jnp.float32)
 
 
-def _kernel(indptr_ref, senders_ref, attr_hbm, x_hbm, starts_ref,
-            t1_ref, tk_ref, out_ref, xbuf, attrbuf, sems, attr_sem):
+def _kernel(indptr_ref, senders_ref, x_ref, starts_ref, out_ref, xbuf):
     i = pl.program_id(0)
     r0 = i * TILE_R
-    K = out_ref.shape[1]
-    D = out_ref.shape[2]
-    V1 = t1_ref.shape[0]
-    Vk = tk_ref.shape[0]
-
-    # edge range of this tile: two scalar reads from the prefetched indptr;
-    # per-row starts arrive as a blocked (TILE_R, 1) vector input
-    e_lo = indptr_ref[r0]
+    e_lo = indptr_ref[r0]              # multiple of TILE_E by construction
     e_hi = indptr_ref[r0 + TILE_R]
-    row_starts = jnp.reshape(starts_ref[...], (1, TILE_R))   # (1, TILE_R)
+    starts_col = starts_ref[...]                              # (TILE_R, 1)
 
     out_ref[...] = jnp.zeros_like(out_ref)
     n_chunks = pl.cdiv(e_hi - e_lo, TILE_E)
@@ -79,160 +77,193 @@ def _kernel(indptr_ref, senders_ref, attr_hbm, x_hbm, starts_ref,
     def chunk_body(c, _):
         off = e_lo + c * TILE_E
 
-        attr_dma = pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(off, TILE_E)], attrbuf, attr_sem)
-        attr_dma.start()
-
-        def dma_group(g, _):
-            base = g * DMA_GROUP
-            for j in range(DMA_GROUP):
-                s = senders_ref[off + base + j]
-                pltpu.make_async_copy(
-                    x_hbm.at[s], xbuf.at[base + j], sems.at[j]).start()
-            for j in range(DMA_GROUP):
-                s = senders_ref[off + base + j]
-                pltpu.make_async_copy(
-                    x_hbm.at[s], xbuf.at[base + j], sems.at[j]).wait()
+        # gather sender rows VMEM -> VMEM (x is resident; cheap row loads)
+        def gather_row(j, _):
+            s = senders_ref[off + j]
+            xbuf[pl.ds(j, 1), :] = x_ref[pl.ds(s, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, TILE_E // DMA_GROUP, dma_group, 0,
-                          unroll=False)
-        attr_dma.wait()
-
-        attr = attrbuf[...]                                   # (TILE_E, K)
+        jax.lax.fori_loop(0, TILE_E, gather_row, 0)
 
         # local receiver id of edge e in row r: starts are nondecreasing
         # and e < indptr[r0+r+1] <= every later start, so
-        # local_recv = (number of row starts <= e) - 1
+        # local_recv = (number of row starts <= e) - 1.
+        # Built row-major so the reduction matmul needs no transposes.
         eidx = off + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_E, 1), 0)                        # (TILE_E, 1)
-        local_recv = jnp.sum(
-            (eidx >= row_starts).astype(jnp.int32),
-            axis=1, keepdims=True) - 1                        # (TILE_E, 1)
-        valid = (eidx < e_hi).astype(jnp.float32)             # (TILE_E, 1)
-        ohr = _one_hot(local_recv[:, 0], TILE_R) * valid      # (TILE_E, TILE_R)
-
-        # Mosaic matmul/reshape is 2-D: loop the (static, small) hop axis
-        for k in range(K):
-            ak = attr[:, k:k + 1]                             # (TILE_E, 1)
-            table = t1_ref if k == 0 else tk_ref
-            V = V1 if k == 0 else Vk
-            emb_k = jnp.dot(_one_hot(ak[:, 0], V), table[...],
-                            preferred_element_type=jnp.float32)  # (TILE_E, D)
-            live_k = (ak > 0).astype(jnp.float32)             # (TILE_E, 1)
-            msg_k = live_k * xbuf[:, k, :] + emb_k            # (TILE_E, D)
-            partial = jax.lax.dot_general(
-                ohr, msg_k,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (TILE_R, D)
-            out_ref[:, k, :] += partial
+            jnp.int32, (1, TILE_E), 1)                        # (1, TILE_E)
+        ge = (eidx >= starts_col).astype(jnp.int32)           # (TILE_R,TILE_E)
+        local_recv = jnp.sum(ge, axis=0, keepdims=True) - 1   # (1, TILE_E)
+        ohr_t = (jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_E), 0) == local_recv
+        ).astype(jnp.float32)                                 # (TILE_R,TILE_E)
+        partial = jax.lax.dot_general(
+            ohr_t, xbuf[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)               # (TILE_R, D)
+        out_ref[...] += partial
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
-def csr_khop_spmm(x: jnp.ndarray, csr: CSR, table1: jnp.ndarray,
-                  tablek: Optional[jnp.ndarray],
-                  interpret: bool = False) -> jnp.ndarray:
-    """out (N, K, D) = masked k-hop aggregation of x (N, K, D)."""
-    n, K, D = x.shape
+def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
+                       interpret: bool = False) -> jnp.ndarray:
+    """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
+
+    x: (N, D) float32, N % TILE_R == 0.  Row N-1 must be a padding slot
+    (it is zeroed here — null alignment edges point at it).  The feature
+    dim pads to the 128-lane tile internally.
+    """
+    n, D_in = x.shape
+    D = ((D_in + 127) // 128) * 128
     assert n % TILE_R == 0, f"n_pad {n} must divide by {TILE_R}"
-    t1 = table1.at[0].set(0.0)
-    tk = (tablek.at[0].set(0.0) if tablek is not None
-          else jnp.zeros((8, D), jnp.float32))
+    assert n * D * 4 <= VMEM_X_LIMIT, \
+        f"node table {n}x{D} too large for the VMEM-resident kernel"
+    x = x.at[n - 1].set(0.0)
+    if D != D_in:
+        x = jnp.pad(x, ((0, 0), (0, D - D_in)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n // TILE_R,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # attr (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # x (full)
             pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row starts
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # table1
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # tablek
         ],
-        out_specs=pl.BlockSpec(
-            (TILE_R, K, D), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((TILE_R, D), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE_E, K, D), jnp.float32),   # gathered rows
-            pltpu.VMEM((TILE_E, K), jnp.int32),        # attr chunk
-            pltpu.SemaphoreType.DMA((DMA_GROUP,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TILE_E, D), jnp.float32),
         ],
     )
-    row_starts = csr.indptr[:-1].reshape(n, 1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, K, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
         interpret=interpret,
-    )(csr.indptr, csr.senders, csr.attr, x, row_starts, t1, tk)
+    )(csr.indptr, csr.senders, x, csr.row_starts)
+    return out[:, :D_in] if D != D_in else out
 
 
-def build_csr(receivers, senders, attr, n_nodes: int,
-              slack: int = TILE_E) -> CSR:
-    """Host-side CSR from receiver-sorted COO (+ DMA slack at the tail).
+def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
+               tile_e=TILE_E) -> HopCSR:
+    """Receiver-sorted CSR whose per-row-tile edge segments are padded to
+    TILE_E multiples with null edges (sender = n_nodes-1, contribution
+    forced to zero by the kernel)."""
+    order = np.argsort(receivers, kind="stable")
+    receivers = np.asarray(receivers)[order]
+    senders = np.asarray(senders)[order]
+    raw_indptr = np.searchsorted(receivers, np.arange(n_nodes + 1))
 
-    Slack rows carry attr 0 / index 0, so chunk overreads contribute
-    exactly zero (mask kills the x term, table row 0 kills the emb term).
-    """
+    n_tiles = n_nodes // tile_r
+    seg_senders: List[np.ndarray] = []
+    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    pos = 0
+    for t in range(n_tiles):
+        lo = raw_indptr[t * tile_r]
+        hi = raw_indptr[(t + 1) * tile_r]
+        seg = senders[lo:hi]
+        pad = (-len(seg)) % tile_e
+        # per-row starts within this tile shift by the running offset
+        for r in range(tile_r):
+            indptr[t * tile_r + r] = pos + (raw_indptr[t * tile_r + r] - lo)
+        seg_senders.append(seg)
+        if pad:
+            seg_senders.append(np.full(pad, n_nodes - 1, senders.dtype))
+        pos += len(seg) + pad
+    indptr[n_nodes] = pos
+    flat = (np.concatenate(seg_senders) if seg_senders
+            else np.zeros(0, np.int64))
+    if len(flat) == 0:
+        flat = np.full(tile_e, n_nodes - 1, np.int64)
+        pos = tile_e
+        indptr[n_nodes] = 0
+    return HopCSR(
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        senders=jnp.asarray(flat.astype(np.int32)),
+        row_starts=jnp.asarray(indptr[:-1].astype(np.int32)
+                               .reshape(n_nodes, 1)),
+    )
+
+
+class KHopPallasPlan(NamedTuple):
+    """Per-hop forward/backward CSRs + embedding count histograms."""
+
+    fwd: Tuple[HopCSR, ...]         # per hop, receiver-sorted live edges
+    bwd: Tuple[HopCSR, ...]         # per hop, sender-sorted (transpose)
+    counts1: jnp.ndarray            # (N, V1) hop-1 attr histogram
+    countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) | None
+
+
+def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
+               ) -> KHopPallasPlan:
+    """Host-side plan: filter live edges per hop, sort both directions,
+    histogram attr codes per receiver."""
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
     attr = np.asarray(attr)
-    indptr = np.searchsorted(receivers, np.arange(n_nodes + 1)).astype(np.int32)
-    pad = ((0, slack),)
-    return CSR(
-        indptr=jnp.asarray(indptr),
-        senders=jnp.asarray(np.pad(senders, pad).astype(np.int32)),
-        receivers=jnp.asarray(np.pad(receivers, pad).astype(np.int32)),
-        attr=jnp.asarray(np.pad(attr, (pad[0], (0, 0))).astype(np.int32)),
+    K = attr.shape[1]
+    fwd, bwd = [], []
+    for k in range(K):
+        live = attr[:, k] > 0
+        r, s = receivers[live], senders[live]
+        fwd.append(_build_one(r, s, n_nodes))
+        bwd.append(_build_one(s, r, n_nodes))
+    counts1 = np.zeros((n_nodes, v1), np.float32)
+    np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
+    counts1[:, 0] = 0.0
+    countsk = None
+    if K > 1:
+        countsk = np.zeros((n_nodes, K - 1, vk), np.float32)
+        for k in range(1, K):
+            np.add.at(countsk[:, k - 1],
+                      (receivers, np.clip(attr[:, k], 0, vk - 1)), 1.0)
+        countsk[:, :, 0] = 0.0
+    return KHopPallasPlan(
+        fwd=tuple(fwd), bwd=tuple(bwd),
+        counts1=jnp.asarray(counts1),
+        countsk=jnp.asarray(countsk) if countsk is not None else None,
     )
 
 
-def build_csc(receivers, senders, attr, n_nodes: int,
-              slack: int = TILE_E) -> CSR:
-    """Transpose layout: edges re-sorted by sender (for the backward
-    gather of dout) — a CSR of the reversed graph."""
-    senders = np.asarray(senders)
-    order = np.argsort(senders, kind="stable")
-    return build_csr(senders[order], np.asarray(receivers)[order],
-                     np.asarray(attr)[order], n_nodes, slack)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _gather_segment(x, csr_fwd: HopCSR, csr_bwd: HopCSR):
+    return gather_segment_sum(x, csr_fwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def khop_spmm(x, table1, tablek, csr: CSR, csc: CSR,
-              interpret: bool = False):
-    """Differentiable k-hop SpMM; csc is the transpose layout for bwd."""
-    return csr_khop_spmm(x, csr, table1, tablek, interpret=interpret)
+def _gs_fwd(x, csr_fwd, csr_bwd):
+    return gather_segment_sum(x, csr_fwd), None
 
 
-def _fwd(x, table1, tablek, csr, csc, interpret):
-    out = csr_khop_spmm(x, csr, table1, tablek, interpret=interpret)
-    return out, (x, table1, tablek)
+def _gs_bwd(csr_fwd, csr_bwd, _, g):
+    return (gather_segment_sum(g, csr_bwd),)
 
 
-def _bwd(csr, csc, interpret, res, g):
-    x, table1, tablek = res
+_gather_segment.defvjp(_gs_fwd, _gs_bwd)
+
+
+def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
+              tablek: Optional[jnp.ndarray],
+              plan: KHopPallasPlan) -> jnp.ndarray:
+    """Full differentiable k-hop aggregation via the Pallas kernel.
+
+    x: (N, K, D); returns (N, K, D).  Matches ops.adjacency's
+    khop_aggregate_adj on the COO backend.
+    """
     n, K, D = x.shape
-    # dx[s] = sum over edges from s of live * g[receiver]: the same
-    # aggregation on the transpose graph with zero embedding tables
-    zero1 = jnp.zeros((2, D), jnp.float32)
-    zerok = jnp.zeros((2, D), jnp.float32) if K > 1 else None
-    dx = csr_khop_spmm(g, csc, zero1, zerok, interpret=interpret)
-
-    # table grads: d table[v] = sum over (edge, hop) with attr == v of
-    # g[receiver, hop, :].  Small dense matmuls in XLA.
-    g_edges = g[csr.receivers]                           # (E', K, D)
-    oh1 = jax.nn.one_hot(csr.attr[:, 0], table1.shape[0],
-                         dtype=jnp.float32)
-    d1 = (oh1.T @ g_edges[:, 0]).at[0].set(0.0)
-    if tablek is not None:
-        ohk = jax.nn.one_hot(csr.attr[:, 1:], tablek.shape[0],
-                             dtype=jnp.float32)          # (E', K-1, Vk)
-        dk = jnp.einsum("ekv,ekd->vd", ohk, g_edges[:, 1:]).at[0].set(0.0)
+    outs = [
+        _gather_segment(x[:, k, :], plan.fwd[k], plan.bwd[k])
+        for k in range(K)
+    ]
+    out = jnp.stack(outs, axis=1)                              # (N, K, D)
+    t1 = table1.at[0].set(0.0)
+    hi = jax.lax.Precision.HIGHEST     # counts are exact integers; keep f32
+    emb = jnp.matmul(plan.counts1, t1, precision=hi)           # (N, D)
+    if tablek is not None and K > 1:
+        tk = tablek.at[0].set(0.0)
+        embk = jnp.einsum("nkv,vd->nkd", plan.countsk, tk,
+                          precision=hi)                        # (N, K-1, D)
+        emb_all = jnp.concatenate([emb[:, None], embk], axis=1)
     else:
-        dk = None
-    return dx, d1, dk
-
-
-khop_spmm.defvjp(_fwd, _bwd)
+        emb_all = emb[:, None]
+    return out + emb_all

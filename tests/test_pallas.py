@@ -1,18 +1,29 @@
-"""Pallas CSR SpMM vs the XLA segment-sum path (interpret mode on CPU)."""
+"""Pallas CSR gather/segment-sum vs the XLA path (interpret mode on CPU)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
+import kpgnn_tpu.ops.pallas_spmm as ps
 from kpgnn_tpu.ops.pallas_spmm import (
-    CSR, build_csc, build_csr, csr_khop_spmm, khop_spmm,
+    build_plan, gather_segment_sum, khop_spmm, _build_one,
 )
+
+
+@pytest.fixture(autouse=True)
+def force_interpret(monkeypatch):
+    orig = ps.gather_segment_sum
+    monkeypatch.setattr(
+        ps, "gather_segment_sum",
+        lambda x, csr, interpret=True: orig(x, csr, interpret=True))
+    yield
 
 
 def case(seed=0, n=256, e=700, K=3, D=8, V1=5, Vk=7):
     rng = np.random.default_rng(seed)
-    senders = rng.integers(0, n, e).astype(np.int32)
-    receivers = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    # row n-1 is the reserved zero/padding slot (kernel contract)
+    senders = rng.integers(0, n - 1, e).astype(np.int32)
+    receivers = np.sort(rng.integers(0, n - 1, e)).astype(np.int32)
     attr = rng.integers(0, Vk, size=(e, K)).astype(np.int32)
     attr[:, 0] = rng.integers(0, V1, e)
     x = rng.normal(size=(n, K, D)).astype(np.float32)
@@ -21,7 +32,7 @@ def case(seed=0, n=256, e=700, K=3, D=8, V1=5, Vk=7):
     return senders, receivers, attr, x, t1, tk
 
 
-def xla_reference(senders, receivers, attr, x, t1, tk, n):
+def oracle(senders, receivers, attr, x, t1, tk, n):
     t1 = t1.copy()
     t1[0] = 0
     tk = tk.copy()
@@ -33,41 +44,53 @@ def xla_reference(senders, receivers, attr, x, t1, tk, n):
     return out
 
 
-def test_forward_matches_xla():
+def test_gather_segment_sum_basic():
+    rng = np.random.default_rng(1)
+    n, e, D = 256, 600, 16
+    senders = rng.integers(0, n - 1, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    csr = _build_one(receivers, senders, n, 128)
+    x = rng.normal(size=(n, D)).astype(np.float32)
+    out = gather_segment_sum(jnp.asarray(x), csr, interpret=True)
+    expect = np.zeros((n, D), np.float32)
+    np.add.at(expect, receivers, x[senders])
+    assert np.allclose(np.asarray(out), expect, atol=1e-4)
+
+
+def test_heavy_row():
+    # one receiver with > TILE_E incoming edges exercises the chunk loop
+    rng = np.random.default_rng(2)
+    n, e, D = 256, 900, 8
+    senders = rng.integers(0, n - 1, e).astype(np.int32)
+    receivers = np.where(np.arange(e) < 400, 17,
+                         rng.integers(0, n, e)).astype(np.int32)
+    csr = _build_one(receivers, senders, n, 128)
+    x = rng.normal(size=(n, D)).astype(np.float32)
+    out = gather_segment_sum(jnp.asarray(x), csr, interpret=True)
+    expect = np.zeros((n, D), np.float32)
+    np.add.at(expect, receivers, x[senders])
+    assert np.allclose(np.asarray(out), expect, atol=1e-3)
+
+
+def test_khop_spmm_matches_oracle():
     senders, receivers, attr, x, t1, tk = case()
     n = x.shape[0]
-    csr = build_csr(receivers, senders, attr, n)
-    out = csr_khop_spmm(jnp.asarray(x), csr, jnp.asarray(t1),
-                        jnp.asarray(tk), interpret=True)
-    expect = xla_reference(senders, receivers, attr, x, t1, tk, n)
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    expect = oracle(senders, receivers, attr, x, t1, tk, n)
     assert np.allclose(np.asarray(out), expect, atol=1e-4), \
         np.abs(np.asarray(out) - expect).max()
 
 
-def test_forward_heavy_row():
-    # one receiver with > TILE_E incoming edges exercises the chunk loop
-    senders, receivers, attr, x, t1, tk = case(seed=1, e=900)
-    receivers = np.sort(np.where(np.arange(900) < 400, 17,
-                                 receivers)).astype(np.int32)
+def test_khop_spmm_grads():
+    senders, receivers, attr, x, t1, tk = case(seed=3, n=128, e=300)
     n = x.shape[0]
-    csr = build_csr(receivers, senders, attr, n)
-    out = csr_khop_spmm(jnp.asarray(x), csr, jnp.asarray(t1),
-                        jnp.asarray(tk), interpret=True)
-    expect = xla_reference(senders, receivers, attr, x, t1, tk, n)
-    assert np.allclose(np.asarray(out), expect, atol=1e-3), \
-        np.abs(np.asarray(out) - expect).max()
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
 
-
-def test_vjp_matches_xla_grads():
-    senders, receivers, attr, x, t1, tk = case(seed=2, n=128, e=300)
-    n = x.shape[0]
-    csr = build_csr(receivers, senders, attr, n)
-    csc = build_csc(receivers, senders, attr, n)
+    w = np.cos(np.arange(x.size).reshape(x.shape) * 0.01).astype(np.float32)
 
     def pallas_loss(x, t1, tk):
-        out = khop_spmm(x, t1, tk, csr, csc, True)
-        return jnp.sum(out * jnp.cos(jnp.arange(out.size)
-                                     .reshape(out.shape) * 0.01))
+        return jnp.sum(khop_spmm(x, t1, tk, plan) * w)
 
     def xla_loss(x, t1, tk):
         t1 = t1.at[0].set(0.0)
@@ -77,8 +100,7 @@ def test_vjp_matches_xla_grads():
         msgs = (a > 0)[..., None] * x[jnp.asarray(senders)] + emb
         out = jax.ops.segment_sum(msgs, jnp.asarray(receivers),
                                   num_segments=n)
-        return jnp.sum(out * jnp.cos(jnp.arange(out.size)
-                                     .reshape(out.shape) * 0.01))
+        return jnp.sum(out * w)
 
     args = (jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk))
     gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(*args)
