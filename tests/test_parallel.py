@@ -80,3 +80,38 @@ def test_parallel_step_runs_8_devices():
     for _ in range(3):
         state, m = step(state, stacked, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_edge_partition_aggregate_matches_single():
+    from kpgnn_tpu.ops.adjacency import COOAdj
+    from kpgnn_tpu.ops.segment import khop_aggregate
+    from kpgnn_tpu.parallel.edge_partition import (
+        make_edge_parallel_aggregate, partition_edges)
+
+    rng = np.random.default_rng(0)
+    n, e, K, D = 64, 200, 3, 8
+    senders = rng.integers(0, n - 1, e).astype(np.int32)
+    receivers = np.sort(rng.integers(0, n - 1, e)).astype(np.int32)
+    attr = rng.integers(0, 5, size=(e, K)).astype(np.int32)
+    adj = COOAdj(senders=jnp.asarray(senders),
+                 receivers=jnp.asarray(receivers),
+                 edge_attr=jnp.asarray(attr),
+                 edge_mask=jnp.ones(e, bool), n_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
+    e_emb = jnp.asarray(rng.normal(size=(e, K, D)).astype(np.float32))
+
+    expect = khop_aggregate(x, adj.senders, adj.receivers, e_emb,
+                            adj.edge_attr)
+
+    n_shards = 4
+    sharded = partition_edges(adj, n_shards)
+    per = sharded.senders.shape[1]
+    e_emb_pad = jnp.zeros((n_shards * per, K, D)).at[:e].set(e_emb)
+    e_emb_sh = e_emb_pad.reshape(n_shards, per, K, D)
+
+    from kpgnn_tpu.parallel import make_mesh
+    mesh = make_mesh(n_shards, axis_names=("edge",))
+    agg = make_edge_parallel_aggregate(mesh)
+    out = agg(x, sharded.senders, sharded.receivers, sharded.edge_attr,
+              e_emb_sh)
+    assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
