@@ -109,6 +109,56 @@ def substructure_counts(A: np.ndarray) -> np.ndarray:
     return np.array([tri, tailed, star, cyc4, custom], dtype=np.float64)
 
 
+def sssp_predecessor(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """BFS predecessor matrix from the one-hot source in F
+    (reference: graph_algorithms.py:338-360)."""
+    s = int(np.argmax(F))
+    n = A.shape[0]
+    P = np.zeros_like(A)
+    seen = np.zeros(n, dtype=bool)
+    seen[s] = True
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in np.flatnonzero(A[u]):
+            if not seen[v]:
+                seen[v] = True
+                P[v, u] = 1.0
+                q.append(int(v))
+    return P
+
+
+def count_edges(A: np.ndarray) -> float:
+    return float(A.sum() / 2.0)
+
+
+def first_neighbours(A: np.ndarray) -> np.ndarray:
+    return A.sum(axis=0)
+
+
+def kth_neighbours(A: np.ndarray, k: int) -> np.ndarray:
+    d = all_pairs_shortest_paths(A, 0)
+    return (d == k).sum(axis=0).astype(np.float64)
+
+
+def mean_neighbourhood(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    deg = np.maximum(A.sum(axis=1), 1.0)
+    return (A @ F) / deg
+
+
+def max_neighbourhood(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    out = np.full(A.shape[0], -np.inf)
+    for i in range(A.shape[0]):
+        nbr = np.flatnonzero(A[i])
+        out[i] = F[nbr].max() if nbr.size else F[i]
+    return out
+
+
+def max_eigenvalues(A: np.ndarray, k: int) -> np.ndarray:
+    ev = np.sort(np.linalg.eigvalsh(A))[::-1]
+    return ev[:k]
+
+
 def wl_colors(A: np.ndarray, labels=None, iters: int = 10) -> tuple:
     """1-WL color refinement; returns the sorted color histogram signature
     (two graphs with different signatures are non-isomorphic)."""

@@ -190,3 +190,40 @@ def test_tu_gin_parser(tmp_path):
     assert len(gs) == 2 and len(folds) == 10
     assert gs[0]["x"][:, 0].tolist() == [0, 0, 1]  # dense tag vocab
     assert folds[0][0].tolist() == [0] and folds[0][1].tolist() == [1]
+
+
+def test_ogb_loader(tmp_path):
+    import numpy as np
+    from kpgnn_tpu.data import load_ogb_graphpred
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # two graphs: 3 nodes / 4 edges and 2 nodes / 2 edges
+    (raw / "num-node-list.csv").write_text("3\n2\n")
+    (raw / "num-edge-list.csv").write_text("4\n2\n")
+    (raw / "edge.csv").write_text("0,1\n1,0\n1,2\n2,1\n0,1\n1,0\n")
+    (raw / "node-feat.csv").write_text("1\n2\n3\n4\n5\n")
+    (raw / "edge-feat.csv").write_text("0\n0\n1\n1\n2\n2\n")
+    (raw / "graph-label.csv").write_text("1\n0\n")
+    sp = tmp_path / "split" / "scaffold"
+    sp.mkdir(parents=True)
+    (sp / "train.csv").write_text("0\n")
+    (sp / "test.csv").write_text("1\n")
+    out = load_ogb_graphpred(str(tmp_path))
+    assert len(out["graphs"]) == 2
+    g0 = out["graphs"][0]
+    assert g0["num_nodes"] == 3 and g0["edge_index"].shape == (2, 4)
+    assert g0["edge_attr"].tolist() == [2, 2, 3, 3]
+    assert out["splits"]["train"].tolist() == [0]
+
+
+def test_extra_algorithms():
+    import numpy as np
+    A = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], float)
+    F = np.array([1.0, 0.0, 0.0])
+    P = alg.sssp_predecessor(A, F)
+    assert P[1, 0] == 1 and P[2, 1] == 1
+    assert alg.count_edges(A) == 2
+    assert alg.first_neighbours(A).tolist() == [1, 2, 1]
+    assert alg.kth_neighbours(A, 2).tolist() == [1, 0, 1]
+    assert np.allclose(alg.mean_neighbourhood(A, np.array([1., 2., 3.])),
+                       [2.0, 2.0, 2.0])
