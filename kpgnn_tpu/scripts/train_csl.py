@@ -17,10 +17,10 @@ from .common import (base_parser, loader_kwargs, model_config, prepare,
 
 def main(argv=None):
     p = base_parser("CSL expressiveness", model_name="KPGIN", K=4,
-                    hidden_size=48, num_layer=3, num_epochs=60,
-                    batch_size=32, max_pe_num=30, max_hop_num=4,
-                    max_edge_type=1, max_edge_count=20,
-                    max_distance_count=30)
+                    hidden_size=48, num_layer=4, num_epochs=200,
+                    batch_size=64, max_pe_num=1000, max_hop_num=4,
+                    max_edge_type=1, max_edge_count=1000,
+                    max_distance_count=1000, patience=5)
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, "CSL")
 

@@ -27,9 +27,10 @@ def load_raw(args):
 
 def main(argv=None):
     p = base_parser("EXP expressiveness", model_name="KPGIN", K=3,
-                    hidden_size=48, num_layer=2, num_epochs=40,
-                    batch_size=32, max_pe_num=30, max_edge_type=1,
-                    max_edge_count=10, max_hop_num=3, max_distance_count=10)
+                    hidden_size=48, num_layer=3, num_epochs=40,
+                    batch_size=128, max_pe_num=1, max_edge_type=1,
+                    max_edge_count=1000, max_hop_num=5,
+                    max_distance_count=1000)
     p.add_argument("--dataset_name", type=str, default="EXP",
                    choices=("EXP", "CEXP"))
     p.add_argument("--folds", type=int, default=10)

@@ -20,9 +20,9 @@ from .common import (base_parser, loader_kwargs, model_config, prepare,
 def main(argv=None):
     p = base_parser("graph property", model_name="KPGIN", K=6,
                     hidden_size=96, num_layer=6, num_epochs=250,
-                    batch_size=64, max_pe_num=30, max_hop_num=4,
-                    max_edge_type=1, max_edge_count=20,
-                    max_distance_count=30, lr=1e-3, runs=1)
+                    batch_size=128, max_pe_num=50, max_hop_num=5,
+                    max_edge_type=1, max_edge_count=50,
+                    max_distance_count=100, lr=1e-2, patience=10, runs=1)
     p.add_argument("--task", type=int, default=0, choices=range(3))
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"gprop{args.task}")

@@ -22,12 +22,12 @@ from .common import (base_parser, loader_kwargs, model_config, prepare,
 
 def main(argv=None):
     p = base_parser("QM9 regression", model_name="KPGINPlus", K=8,
-                    hidden_size=128, num_layer=8, num_epochs=350,
+                    hidden_size=128, num_layer=8, num_epochs=200,
                     batch_size=128, JK="last", combine="attention",
                     pooling_method="attention", num_hop1_edge=4,
-                    max_pe_num=50, max_edge_type=4, max_edge_count=50,
-                    max_hop_num=6, max_distance_count=50, lr=1e-3,
-                    patience=10)
+                    max_pe_num=50, max_edge_type=4, max_edge_count=20,
+                    max_hop_num=5, max_distance_count=15, lr=1e-3,
+                    patience=5)
     p.add_argument("--task", type=int, default=0, choices=range(19))
     p.add_argument("--use_pos", action="store_true")
     args = p.parse_args(argv)

@@ -21,10 +21,10 @@ from .common import (base_parser, loader_kwargs, model_config, prepare,
 
 def main(argv=None):
     p = base_parser("SR25 expressiveness", model_name="KPGIN", K=4,
-                    hidden_size=48, num_layer=2, num_epochs=200,
-                    batch_size=15, lr=1e-3, max_pe_num=30, max_hop_num=5,
-                    max_edge_type=1, max_edge_count=30,
-                    max_distance_count=30)
+                    hidden_size=48, num_layer=4, num_epochs=200,
+                    batch_size=15, lr=1e-3, max_pe_num=1000, max_hop_num=4,
+                    max_edge_type=1, max_edge_count=1000,
+                    max_distance_count=1000, patience=100)
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, "SR25")
 
