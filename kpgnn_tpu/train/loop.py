@@ -172,6 +172,8 @@ class Trainer:
     eval_metric: str = "same"
     bn_train_mode_eval: bool = False
     logger: Optional[object] = None
+    checkpoint_dir: Optional[str] = None
+    max_checkpoints: int = 3
 
     def log(self, msg):
         if self.logger:
@@ -191,6 +193,14 @@ class Trainer:
         sched = ReduceLROnPlateau(
             factor=self.cfg.factor, patience=self.cfg.patience,
             min_lr=self.cfg.min_lr, mode=self.metric_mode)
+
+        saver = None
+        if self.checkpoint_dir is not None:
+            from .checkpoint import CheckpointSaver
+            saver = CheckpointSaver(
+                self.checkpoint_dir, max_checkpoints=self.max_checkpoints,
+                maximize_metric=self.metric_mode == "max",
+                logger=self.logger)
 
         key = ("accuracy" if self.metric_mode == "max" else "loss")
         best_val = -math.inf if self.metric_mode == "max" else math.inf
@@ -218,6 +228,8 @@ class Trainer:
                 if better:
                     best_val = metric
                     best_epoch = epoch
+                    if saver is not None:
+                        saver.save(epoch, state, metric)
                     if test_loader is not None:
                         best_test = evaluate(eval_step, state, test_loader)
                         row.update({f"test_{k}": v for k, v in

@@ -128,3 +128,19 @@ def test_set_lr_updates_jitted_step(dataset):
     assert get_lr(state) == pytest.approx(1e-3)
     state = set_lr(state, 5e-4)
     assert get_lr(state) == pytest.approx(5e-4)
+
+
+def test_trainer_checkpoints_best(dataset, tmp_path):
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset[:32], batch_size=16, shuffle=True)
+    vl = GraphLoader(dataset[:32], batch_size=16)
+    cfg = TrainConfig(lr=5e-3, num_epochs=3, batch_size=16,
+                      loss="cross_entropy")
+    trainer = Trainer(model, cfg, loss="cross_entropy", metric_mode="max",
+                      checkpoint_dir=str(tmp_path / "ck"))
+    state, res = trainer.fit(loader, vl, rng=jax.random.PRNGKey(1))
+    import os
+    files = os.listdir(tmp_path / "ck")
+    assert "best.ckpt" in files
+    best, meta = load_checkpoint(str(tmp_path / "ck" / "best.ckpt"), state)
+    assert "metric" in meta
