@@ -78,20 +78,31 @@ class GraphLoader:
             return n // self.batch_size
         return math.ceil(n / self.batch_size)
 
+    def _collate(self, batch_graphs):
+        if self.mode == "dense":
+            return collate_dense(
+                batch_graphs, n_slot=self.n_slot, v1=self.v1, vk=self.vk,
+                g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+        return collate(
+            batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
+            g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+
     def __iter__(self) -> Iterator[GraphBatch]:
+        if not self.shuffle:
+            # deterministic order: collate once, replay device-resident
+            # batches every epoch (eval loaders dominate epoch wall-clock
+            # on small datasets otherwise)
+            if not hasattr(self, "_cache"):
+                bs = self.batch_size
+                self._cache = [
+                    self._collate(self.graphs[i * bs:(i + 1) * bs])
+                    for i in range(len(self))
+                ]
+            yield from self._cache
+            return
         order = np.arange(len(self.graphs))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        self.rng.shuffle(order)
         bs = self.batch_size
-        n_batches = len(self)
-        for i in range(n_batches):
+        for i in range(len(self)):
             idx = order[i * bs:(i + 1) * bs]
-            batch_graphs = [self.graphs[j] for j in idx]
-            if self.mode == "dense":
-                yield collate_dense(
-                    batch_graphs, n_slot=self.n_slot, v1=self.v1, vk=self.vk,
-                    g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
-            else:
-                yield collate(
-                    batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
-                    g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+            yield self._collate([self.graphs[j] for j in idx])
