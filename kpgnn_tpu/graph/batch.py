@@ -277,16 +277,22 @@ def collate_dense(
             for k in range(K):
                 hop_attr[b, k, v, u] = ea[:, k]
 
+    # attr-code histograms per (graph, node, hop) via sparse scatter-add
+    # (edges are sparse; looping the vocab would scan B*K*n*n per value)
     counts1 = np.zeros((g_pad, n_slot, v1), dtype=np.float32)
     countsk = (np.zeros((g_pad, n_slot, K - 1, vk), dtype=np.float32)
                if K > 1 else None)
-    a1 = np.clip(hop_attr[:, 0], 0, v1 - 1)
-    for val in range(1, v1):
-        counts1[..., val] = (a1 == val).sum(-1)
+    b_i, i_i, j_i = np.nonzero(hop_attr[:, 0])
+    np.add.at(counts1,
+              (b_i, i_i, np.clip(hop_attr[:, 0][b_i, i_i, j_i], 0, v1 - 1)),
+              1.0)
     if K > 1:
-        ak = np.clip(hop_attr[:, 1:], 0, vk - 1)     # (B, K-1, n, n)
-        for val in range(1, vk):
-            countsk[..., val] = (ak == val).sum(-1).transpose(0, 2, 1)
+        ak = hop_attr[:, 1:]                          # (B, K-1, n, n)
+        b_i, k_i, i_i, j_i = np.nonzero(ak)
+        np.add.at(countsk,
+                  (b_i, i_i, k_i,
+                   np.clip(ak[b_i, k_i, i_i, j_i], 0, vk - 1)),
+                  1.0)
 
     graph_mask = np.zeros((g_pad,), dtype=bool)
     graph_mask[:B] = True
