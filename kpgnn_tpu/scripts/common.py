@@ -27,7 +27,7 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
         "max_edge_count": 10, "max_hop_num": 3, "max_distance_count": 10,
         "num_hop1_edge": 1, "num_layer": 2, "JK": "last", "combine":
         "geometric", "pooling_method": "sum", "norm_type": "Batch",
-        "aggr": "mean", "factor": 0.5, "patience": 10, "runs": 1,
+        "aggr": "add", "factor": 0.5, "patience": 10, "runs": 1,
         "num_l1_layer": 1, "eps": 0.0, "num_workers": 0,
     }
     d.update(defaults)
