@@ -173,3 +173,13 @@ def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
         "v1": mcfg.num_hop1_edge + 2,
         "vk": mcfg.max_pe_num + 2,
     }
+
+
+def maybe_mesh(args):
+    """--parallel: data-parallel mesh over all visible devices."""
+    if not getattr(args, "parallel", False):
+        return None
+    import jax
+
+    from ..parallel import make_mesh
+    return make_mesh(len(jax.devices()))

@@ -11,8 +11,8 @@ import jax
 from ..data import generate_csl
 from ..models import make_model
 from ..train import GraphLoader, Trainer, k_fold
-from .common import (base_parser, loader_kwargs, model_config, prepare,
-                     setup_run, train_config)
+from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+                     prepare, setup_run, train_config)
 
 
 def main(argv=None):

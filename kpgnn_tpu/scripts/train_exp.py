@@ -12,8 +12,8 @@ import jax
 from ..data import load_exp_pickle, load_exp_txt
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, model_config, prepare,
-                     setup_run, train_config)
+from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+                     prepare, setup_run, train_config)
 
 
 def load_raw(args):

@@ -13,8 +13,8 @@ import jax
 from ..data import generate_property_dataset
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, model_config, prepare,
-                     setup_run, train_config)
+from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+                     prepare, setup_run, train_config)
 
 
 def main(argv=None):

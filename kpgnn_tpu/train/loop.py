@@ -174,6 +174,7 @@ class Trainer:
     logger: Optional[object] = None
     checkpoint_dir: Optional[str] = None
     max_checkpoints: int = 3
+    mesh: Optional[object] = None       # jax Mesh -> data-parallel steps
 
     def log(self, msg):
         if self.logger:
@@ -186,8 +187,13 @@ class Trainer:
         example = next(iter(train_loader))
         state, tx = create_train_state(
             self.model, example, init_rng, self.cfg.lr, self.cfg.l2_wd)
-        train_step = make_train_step(self.model, tx, self.loss,
-                                     self.node_level)
+        if self.mesh is not None:
+            from ..parallel.dp import make_parallel_train_step
+            train_step = make_parallel_train_step(
+                self.model, tx, self.mesh, self.loss, self.node_level)
+        else:
+            train_step = make_train_step(self.model, tx, self.loss,
+                                         self.node_level)
         eval_step = make_eval_step(self.model, self.loss, self.node_level,
                                    self.eval_metric, self.bn_train_mode_eval)
         sched = ReduceLROnPlateau(
@@ -210,7 +216,13 @@ class Trainer:
         for epoch in range(self.cfg.num_epochs):
             t0 = time.time()
             rng, sub = jax.random.split(rng)
-            state, train_loss = train_epoch(train_step, state, train_loader, sub)
+            if self.mesh is not None:
+                from ..parallel.dp import shard_loader
+                n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
+                stream = shard_loader(train_loader, n_dev)
+            else:
+                stream = train_loader
+            state, train_loss = train_epoch(train_step, state, stream, sub)
             row = {"epoch": epoch, "train_loss": train_loss,
                    "lr": get_lr(state), "seconds": time.time() - t0}
             if val_loader is not None:

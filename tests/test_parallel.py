@@ -115,3 +115,17 @@ def test_edge_partition_aggregate_matches_single():
     out = agg(x, sharded.senders, sharded.receivers, sharded.edge_attr,
               e_emb_sh)
     assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_trainer_with_mesh(tmp_path):
+    from kpgnn_tpu.train import TrainConfig, Trainer
+    graphs = toy_graphs(32, seed=9)
+    model = make_model(cfg())
+    mesh = make_mesh(4)
+    tl = GraphLoader(graphs, batch_size=4, shuffle=True, seed=0)
+    vl = GraphLoader(graphs, batch_size=8)
+    trainer = Trainer(model, TrainConfig(lr=1e-2, num_epochs=2, batch_size=4,
+                                         loss="mse"),
+                      loss="mse", mesh=mesh)
+    state, res = trainer.fit(tl, vl, rng=jax.random.PRNGKey(0))
+    assert np.isfinite(res["history"][-1]["train_loss"])
