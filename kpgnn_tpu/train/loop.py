@@ -213,7 +213,9 @@ class Trainer:
         best_test: Dict[str, float] = {}
         best_epoch = -1
         history = []
+        interrupted = False
         for epoch in range(self.cfg.num_epochs):
+          try:
             t0 = time.time()
             rng, sub = jax.random.split(rng)
             if self.mesh is not None:
@@ -255,7 +257,14 @@ class Trainer:
             if self.cfg.stop_at_min_lr and get_lr(state) <= self.cfg.min_lr:
                 self.log(f"lr reached min_lr at epoch {epoch}; stopping")
                 break
+          except KeyboardInterrupt:
+            # exit gracefully but still report the summary
+            # (reference: train_ZINC.py:274-276)
+            self.log(f"interrupted at epoch {epoch}")
+            interrupted = True
+            break
         return state, {
             "best_val": best_val, "best_epoch": best_epoch,
             "best_test": best_test, "history": history,
+            "interrupted": interrupted,
         }

@@ -1,6 +1,7 @@
 from .logging import get_logger, get_save_dir
 from .seed import get_seed, seed_everything
 from .meters import AverageMeter
+from .profiling import trace, timed
 
 
 def get_available_devices():
@@ -10,4 +11,4 @@ def get_available_devices():
 
 
 __all__ = ["get_logger", "get_save_dir", "get_seed", "seed_everything",
-           "AverageMeter", "get_available_devices"]
+           "AverageMeter", "get_available_devices", "trace", "timed"]
