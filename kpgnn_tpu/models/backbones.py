@@ -136,7 +136,7 @@ class _VirtualNode(nn.Module):
                train: bool, residual: bool, drop_prob: float):
         pooled = segment_sum(
             h_prev * batch.node_mask[:, None].astype(h_prev.dtype),
-            batch.node_graph_ids, batch.g_pad)
+            batch.node_graph_ids, batch.g_pad).astype(jnp.float32)
         tmp = pooled + vn
         out = self.mlps[layer](tmp, mask=batch.graph_mask, train=train)
         out = _dropout(self, out, drop_prob, train)
@@ -183,6 +183,7 @@ class GNN(nn.Module):
     wo_peripheral_edge: bool = False
     wo_peripheral_configuration: bool = False
     drop_prob: float = 0.1
+    compute_dtype: str = "float32"        # activations dtype (params stay f32)
     peripheral_full_width: bool = False   # True for GNNPlus-style width
 
     @nn.compact
@@ -198,12 +199,13 @@ class GNN(nn.Module):
             x = x[:, 0]
         if self.use_rd and batch.rd is not None:
             x = x + TorchLinear(H, name="rd_projection")(batch.rd)
+        x = x.astype(jnp.dtype(self.compute_dtype))
 
         peripheral_attr = _PeripheralEmbed(
             dk, self.num_hop1_edge, self.max_edge_count, self.max_hop_num,
             self.max_distance_count, self.wo_peripheral_edge,
             self.wo_peripheral_configuration, gate="sigmoid",
-            name="peripheral")(batch, K)
+            name="peripheral")(batch, K).astype(x.dtype)
 
         vn_mod = (_VirtualNode(H, L, name="virtualnode")
                   if self.virtual_node else None)
@@ -212,7 +214,7 @@ class GNN(nn.Module):
         h_list = [x]
         for l in range(L):                                     # noqa: E741
             if vn_mod is not None:
-                h_list[l] = h_list[l] + vn[batch.node_graph_ids]
+                h_list[l] = h_list[l] + vn[batch.node_graph_ids].astype(h_list[l].dtype)
             layer = self.layer_fn(f"gnn{l}")
             h = layer(h_list[l], batch.adj, batch.pe_attr, peripheral_attr,
                       node_mask=batch.node_mask, train=train)
@@ -253,6 +255,7 @@ class GNNPlus(nn.Module):
     wo_peripheral_edge: bool = False
     wo_peripheral_configuration: bool = False
     drop_prob: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False) -> jnp.ndarray:
@@ -267,12 +270,13 @@ class GNNPlus(nn.Module):
             x = x[:, 0]
         if self.use_rd and batch.rd is not None:
             x = x + TorchLinear(H, name="rd_projection")(batch.rd)
+        x = x.astype(jnp.dtype(self.compute_dtype))
 
         peripheral_attr = _PeripheralEmbed(
             H, self.num_hop1_edge, self.max_edge_count, self.max_hop_num,
             self.max_distance_count, self.wo_peripheral_edge,
             self.wo_peripheral_configuration, gate="tanh",
-            name="peripheral")(batch, K)
+            name="peripheral")(batch, K).astype(x.dtype)
 
         vn_mod = (_VirtualNode(H, L, name="virtualnode")
                   if self.virtual_node else None)
@@ -282,7 +286,7 @@ class GNNPlus(nn.Module):
         last_h = x
         for l in range(L):                                     # noqa: E741
             if vn_mod is not None:
-                h_list[l] = h_list[l] + vn[batch.node_graph_ids]
+                h_list[l] = h_list[l] + vn[batch.node_graph_ids].astype(h_list[l].dtype)
             k = min(l + 1, K)
             window = jnp.stack([h_list[j] for j in range(l, l - k, -1)],
                                axis=1)                         # (N, k, H)
@@ -329,6 +333,7 @@ class GNNPrime(nn.Module):
     wo_peripheral_edge: bool = False
     wo_peripheral_configuration: bool = False
     drop_prob: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False) -> jnp.ndarray:
@@ -345,12 +350,13 @@ class GNNPrime(nn.Module):
             x = x[:, 0]
         if self.use_rd and batch.rd is not None:
             x = x + TorchLinear(H, name="rd_projection")(batch.rd)
+        x = x.astype(jnp.dtype(self.compute_dtype))
 
         peripheral_attr = _PeripheralEmbed(
             dk, self.num_hop1_edge, self.max_edge_count, self.max_hop_num,
             self.max_distance_count, self.wo_peripheral_edge,
             self.wo_peripheral_configuration, gate="sigmoid",
-            name="peripheral")(batch, K)
+            name="peripheral")(batch, K).astype(x.dtype)
 
         vn_mod = (_VirtualNode(H, L, name="virtualnode")
                   if self.virtual_node else None)
@@ -359,7 +365,7 @@ class GNNPrime(nn.Module):
         h_list = [x]
         for l in range(L1):                                    # noqa: E741
             if vn_mod is not None:
-                h_list[l] = h_list[l] + vn[batch.node_graph_ids]
+                h_list[l] = h_list[l] + vn[batch.node_graph_ids].astype(h_list[l].dtype)
             layer = self.layer_fn(f"khop_gnn{l}")
             h = layer(h_list[l], batch.adj, batch.pe_attr, peripheral_attr,
                       node_mask=batch.node_mask, train=train)
@@ -376,7 +382,7 @@ class GNNPrime(nn.Module):
 
         for l in range(L1, L):                                 # noqa: E741
             if vn_mod is not None:
-                h_list[l] = h_list[l] + vn[batch.node_graph_ids]
+                h_list[l] = h_list[l] + vn[batch.node_graph_ids].astype(h_list[l].dtype)
             gine = knn.GINEConv(H, self.num_hop1_edge, name=f"gine{l - L1}")
             h = gine(h_list[l], batch.adj,
                      node_mask=batch.node_mask, train=train)

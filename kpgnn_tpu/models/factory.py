@@ -45,6 +45,7 @@ class ModelConfig:
     residual: bool = False
     use_rd: bool = False
     drop_prob: float = 0.0
+    compute_dtype: str = "float32"      # "bfloat16" for mixed precision
     eps: float = 0.0
     train_eps: bool = False
     num_l1_layer: int = 1               # KPGINPrime only
@@ -121,6 +122,7 @@ def make_model(cfg: ModelConfig) -> nn.Module:
         wo_peripheral_edge=cfg.wo_peripheral_edge,
         wo_peripheral_configuration=cfg.wo_peripheral_configuration,
         drop_prob=cfg.drop_prob,
+        compute_dtype=cfg.compute_dtype,
     )
     if cfg.model_name == "KPGINPlus":
         backbone = GNNPlus(name="embedding_model", **common)

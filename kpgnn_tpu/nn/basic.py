@@ -21,10 +21,10 @@ class TorchLinear(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features)
         )
-        y = x @ kernel
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
 
 

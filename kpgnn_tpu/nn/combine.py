@@ -36,7 +36,7 @@ class GeometricCombine(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alphas = self.param("alphas", nn.initializers.zeros, (self.hidden_size,))
-        a = jax.nn.sigmoid(alphas)
+        a = jax.nn.sigmoid(alphas).astype(x.dtype)
         i = jnp.arange(self.K, dtype=x.dtype)[:, None]
         thetas = a[None, :] * (1.0 - a[None, :]) ** i        # (K, D)
         thetas = jax.nn.softmax(thetas, axis=0)

@@ -18,12 +18,13 @@ class PaddedEmbed(nn.Module):
     num_embeddings: int
     features: int
     padding_idx: int | None = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         table = self.param(
             "embedding", normal_init(1.0), (self.num_embeddings, self.features)
-        )
+        ).astype(self.dtype)
         if self.padding_idx is not None:
             mask = (
                 jnp.arange(self.num_embeddings) != self.padding_idx

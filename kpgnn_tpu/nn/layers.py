@@ -60,7 +60,7 @@ def _add_path_encoding(x_hops, tpe, pe_attr):
     """x[:, 1:] += pe_emb(pe_attr) (reference: layers/KPGIN.py:92-94)."""
     if tpe is None or pe_attr is None:
         return x_hops
-    table = tpe.at[0].set(0.0)
+    table = tpe.at[0].set(0.0).astype(x_hops.dtype)
     return x_hops.at[:, 1:].add(table[pe_attr])
 
 
@@ -109,8 +109,10 @@ class KPGINConv(nn.Module):
         b1 = self.param("hop_bias1", fan_in_uniform_bias(dk * dk), (K, dk))
         w2 = self.param("hop_proj2", kaiming_uniform(), (K, dk, dk))
         b2 = self.param("hop_bias2", fan_in_uniform_bias(dk * dk), (K, dk))
-        h = nn.relu(jnp.einsum("nki,kio->nko", h, w1) + b1[None])
-        h = nn.relu(jnp.einsum("nki,kio->nko", h, w2) + b2[None])
+        h = nn.relu(jnp.einsum("nki,kio->nko", h, w1.astype(h.dtype))
+                    + b1[None].astype(h.dtype))
+        h = nn.relu(jnp.einsum("nki,kio->nko", h, w2.astype(h.dtype))
+                    + b2[None].astype(h.dtype))
 
         if K > 1:
             h = make_combine(self.combine, K, dk)(h)
@@ -198,7 +200,8 @@ class KPGraphSAGEConv(nn.Module):
         h = jnp.concatenate([x, x_n], axis=-1)                # (N, K, 2dk)
         w = self.param("hop_proj", kaiming_uniform(), (K, 2 * dk, dk))
         b = self.param("hop_bias", fan_in_uniform_bias(2 * dk * dk), (K, dk))
-        h = jnp.einsum("nki,kio->nko", h, w) + b[None]
+        h = jnp.einsum("nki,kio->nko", h, w.astype(h.dtype)) \
+            + b[None].astype(h.dtype)
         h = _l2_normalize(nn.relu(h), axis=-1)
 
         if K > 1:

@@ -42,6 +42,8 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  use_running_average: bool = True):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((features,)))
@@ -69,7 +71,7 @@ class MaskedBatchNorm(nn.Module):
             y = y * self.param("scale", nn.initializers.ones, (features,))
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (features,))
-        return y
+        return y.astype(in_dtype)
 
 
 class MaskedGraphLayerNorm(nn.Module):
@@ -81,6 +83,8 @@ class MaskedGraphLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int,
                  mask: Optional[jnp.ndarray] = None):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         features = x.shape[-1]
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
@@ -101,7 +105,7 @@ class MaskedGraphLayerNorm(nn.Module):
         y = xc * jax.lax.rsqrt(var + self.eps)
         y = y * self.param("scale", nn.initializers.ones, (features,))
         y = y + self.param("bias", nn.initializers.zeros, (features,))
-        return y
+        return y.astype(in_dtype)
 
 
 class MaskedInstanceNorm(nn.Module):
@@ -113,6 +117,8 @@ class MaskedInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int,
                  mask: Optional[jnp.ndarray] = None):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         features = x.shape[-1]
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
@@ -131,7 +137,7 @@ class MaskedInstanceNorm(nn.Module):
         if self.affine:
             y = y * self.param("scale", nn.initializers.ones, (features,))
             y = y + self.param("bias", nn.initializers.zeros, (features,))
-        return y
+        return y.astype(in_dtype)
 
 
 class GraphSizeNorm(nn.Module):

@@ -124,8 +124,9 @@ def khop_aggregate_adj(
     the dense path a pure matmul; generic per-edge scales only exist on
     the COO path.
     """
-    table1 = _zero_row0(table1)
-    tablek = _zero_row0(tablek)
+    table1 = _zero_row0(table1).astype(x.dtype)
+    tablek = (_zero_row0(tablek).astype(x.dtype)
+              if tablek is not None else None)
     K = adj.K
     if isinstance(adj, COOAdj):
         e1 = table1[adj.edge_attr[:, :1]]

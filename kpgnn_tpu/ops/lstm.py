@@ -56,12 +56,16 @@ class BiLSTM(nn.Module):
         # both directions' input projections in one einsum; the backward
         # direction consumes the time-reversed sequence
         seq2 = jnp.stack([tm, tm[::-1]], axis=1)        # (T, 2, B, F)
-        w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
-        b_ih = jnp.stack([params["fwd"]["b_ih"], params["bwd"]["b_ih"]])
+        w_ih = jnp.stack([params["fwd"]["w_ih"],
+                          params["bwd"]["w_ih"]]).astype(x.dtype)
+        b_ih = jnp.stack([params["fwd"]["b_ih"],
+                          params["bwd"]["b_ih"]]).astype(x.dtype)
         xg = jnp.einsum("tdbf,dgf->tdbg", seq2, w_ih) + b_ih[None, :, None]
 
-        w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
-        b_hh = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])
+        w_hh = jnp.stack([params["fwd"]["w_hh"],
+                          params["bwd"]["w_hh"]]).astype(x.dtype)
+        b_hh = jnp.stack([params["fwd"]["b_hh"],
+                          params["bwd"]["b_hh"]]).astype(x.dtype)
 
         def step(carry, xg_t):
             h, c = carry                                 # (2, B, H)

@@ -25,6 +25,7 @@ from .state import TrainState, create_train_state, get_lr, set_lr
 
 def _masked_loss(pred, y, mask, loss: str):
     """Returns (sum of per-item losses over real items, item count)."""
+    pred = pred.astype(jnp.float32)
     m = mask.astype(jnp.float32)
     if loss == "cross_entropy":
         y = y.astype(jnp.int32)
