@@ -81,6 +81,8 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--reprocess", action="store_true")
     p.add_argument("--dense", action="store_true",
                    help="use the dense MXU adjacency backend")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (params stay f32)")
     p.add_argument("--parallel", action="store_true",
                    help="data-parallel over all visible devices")
     return p
@@ -117,6 +119,8 @@ def model_config(args, input_encoder, task, output_size,
         wo_edge_feature=args.wo_edge_feature,
         input_encoder=input_encoder, task=task,
         pooling_method=args.pooling_method, output_size=output_size,
+        compute_dtype="bfloat16" if getattr(args, "bf16", False)
+        else "float32",
     )
 
 

@@ -204,3 +204,55 @@ def test_padding_invariance():
             v = conv.init(jax.random.PRNGKey(7), b.x, b.adj, b.pe_attr, pa)
         outs.append(np.asarray(conv.apply(v, b.x, b.adj, b.pe_attr, pa))[:n])
     assert np.allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_kpsage_mean_denominator_matches_reference_semantics():
+    """PyG mean divides by ALL union in-edges regardless of hop mask
+    (reference: layers/KPGraphSAGE.py aggr='mean' within propagate over
+    the union edge set) — check against a numpy oracle doing exactly
+    that."""
+    from kpgnn_tpu.nn import KPGraphSAGEConv
+
+    n, e, K, dk = 7, 14, 3, 4
+    ei, ea, x, pe, peripheral = make_case(11, n, e, K, dk)
+    g = Graph(num_nodes=n, edge_index=ei, edge_attr=ea, x=x,
+              pe_attr=pe, y=np.zeros(1, np.float32))
+    b = collate([g], n_pad=16, e_pad=32, g_pad=2)
+
+    conv = KPGraphSAGEConv(hidden_size=K * dk, K=K, aggr="mean",
+                           num_hop1_edge=4, num_pe=6)
+    pa = jnp.zeros((16, K, dk)).at[:n].set(peripheral)
+    v = conv.init(jax.random.PRNGKey(3), b.x, b.adj, b.pe_attr, pa)
+    out = np.asarray(conv.apply(v, b.x, b.adj, b.pe_attr, pa))[:n]
+
+    p = jax.tree.map(np.asarray, v["params"])
+
+    def tab(t):
+        t = t.copy()
+        t[0] = 0
+        return t
+
+    hop1 = tab(p["hop1_edge_emb"])
+    hopk = tab(p["hopk_edge_emb"])
+    pemb = tab(p["hopk_node_path_emb"])
+
+    xh = x.reshape(n, K, dk).copy()
+    xh[:, 1:] += pemb[pe]
+    eemb = np.concatenate([hop1[ea[:, :1]], hopk[ea[:, 1:]]], axis=1)
+    msg = xh[ei[0]] + eemb
+    msg[ea == 0] = 0.0
+    num = np.zeros_like(xh)
+    np.add.at(num, ei[1], msg)
+    den = np.zeros(n)
+    np.add.at(den, ei[1], 1.0)          # every union edge counts
+    x_n = num / np.maximum(den, 1.0)[:, None, None]
+    x_n += peripheral
+
+    h = np.concatenate([xh, x_n], axis=-1)
+    h = np.einsum("nki,kio->nko", h, p["hop_proj"]) + p["hop_bias"][None]
+    h = np.maximum(h, 0)
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    thetas = geometric_thetas(p["combine"]["alphas"], K)
+    comb = (h * thetas[None]).sum(1)
+    expect = comb @ p["combine_proj"]["kernel"] + p["combine_proj"]["bias"]
+    assert np.allclose(out, expect, atol=1e-5), np.abs(out - expect).max()
