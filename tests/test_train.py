@@ -144,3 +144,38 @@ def test_trainer_checkpoints_best(dataset, tmp_path):
     assert "best.ckpt" in files
     best, meta = load_checkpoint(str(tmp_path / "ck" / "best.ckpt"), state)
     assert "metric" in meta
+
+
+def test_gnnplus_trains_on_triangles(dataset):
+    cfg_m = ModelConfig(
+        model_name="KPGINPlus", hidden_size=32, num_layer=2, K=2,
+        num_hop1_edge=1, max_pe_num=10, JK="last", combine="geometric",
+        virtual_node=False, input_encoder=("embedding", 2),
+        task="graph_classification", pooling_method="sum", output_size=2)
+    model = make_model(cfg_m)
+    tl = GraphLoader(dataset, batch_size=16, shuffle=True, seed=1)
+    vl = GraphLoader(dataset, batch_size=16)
+    trainer = Trainer(model, TrainConfig(lr=5e-3, num_epochs=20,
+                                         batch_size=16,
+                                         loss="cross_entropy", patience=50),
+                      loss="cross_entropy", metric_mode="max")
+    state, res = trainer.fit(tl, vl, vl, rng=jax.random.PRNGKey(2))
+    assert res["best_val"] > 0.8, res["best_val"]
+
+
+def test_gnnprime_trains_on_triangles(dataset):
+    cfg_m = ModelConfig(
+        model_name="KPGINPrime", hidden_size=32, num_layer=2, K=2,
+        num_l1_layer=1, num_hop1_edge=1, max_pe_num=10, JK="last",
+        combine="geometric", virtual_node=False,
+        input_encoder=("embedding", 2),
+        task="graph_classification", pooling_method="sum", output_size=2)
+    model = make_model(cfg_m)
+    tl = GraphLoader(dataset, batch_size=16, shuffle=True, seed=1)
+    vl = GraphLoader(dataset, batch_size=16)
+    trainer = Trainer(model, TrainConfig(lr=5e-3, num_epochs=20,
+                                         batch_size=16,
+                                         loss="cross_entropy", patience=50),
+                      loss="cross_entropy", metric_mode="max")
+    state, res = trainer.fit(tl, vl, vl, rng=jax.random.PRNGKey(2))
+    assert res["best_val"] > 0.8, res["best_val"]
