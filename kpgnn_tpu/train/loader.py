@@ -4,10 +4,16 @@ Shapes are chosen once per loader (worst-case over the dataset by
 default), so the jitted train step compiles exactly once.  The final
 partial batch is padded with masked graph slots instead of being dropped
 or reshaped.
+
+Shuffled (training) iteration collates on a background thread with a
+small queue, overlapping host-side packing with device compute; ordered
+(eval) iteration collates once and replays device-resident batches.
 """
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -103,6 +109,26 @@ class GraphLoader:
         order = np.arange(len(self.graphs))
         self.rng.shuffle(order)
         bs = self.batch_size
-        for i in range(len(self)):
-            idx = order[i * bs:(i + 1) * bs]
-            yield self._collate([self.graphs[j] for j in idx])
+        n_batches = len(self)
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for i in range(n_batches):
+                    idx = order[i * bs:(i + 1) * bs]
+                    q.put(self._collate([self.graphs[j] for j in idx]))
+                q.put(SENTINEL)
+            except BaseException as e:   # surface collate errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
