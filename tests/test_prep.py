@@ -211,3 +211,39 @@ def test_walk_counts_use_int64():
     pw = adjacency_powers(adj_from(ei, n), 9)
     assert pw.dtype == np.int64
     assert pw[8].max() > 2**31
+
+
+@pytest.mark.parametrize("kernel", ["spd", "gd"])
+def test_device_khop_matches_host(kernel):
+    """On-device SPD/GD extraction == host extraction, per hop-attr cell."""
+    import jax.numpy as jnp
+
+    from kpgnn_tpu.graph.batch import collate_dense
+    from kpgnn_tpu.prep.device import device_khop_dense
+
+    rng = np.random.default_rng(0)
+    K, n_slot, v1, vk = 3, 12, 6, 9
+    cfg = KHopConfig(K=K, kernel=kernel, max_edge_attr_num=vk - 2)
+    graphs, adjs, attrs = [], [], []
+    for seed in range(4):
+        n, ei, ea = random_graph(int(rng.integers(6, 11)), 0.35, seed)
+        if ei.shape[1] == 0:
+            continue
+        graphs.append(extract_khop(n, ei, ea, cfg))
+        A = np.zeros((n_slot, n_slot))
+        A[ei[0], ei[1]] = 1
+        At = np.zeros((n_slot, n_slot), np.int32)
+        At[ei[0], ei[1]] = ea
+        adjs.append(A)
+        attrs.append(At)
+
+    host = collate_dense(graphs, n_slot=n_slot, v1=v1, vk=vk,
+                         g_pad=len(graphs))
+    dev, pe = device_khop_dense(
+        jnp.asarray(np.stack(adjs)),
+        jnp.asarray(np.swapaxes(np.stack(attrs), -1, -2)),  # receiver-major
+        K=K, max_edge_attr_num=vk - 2, kernel=kernel, v1=v1, vk=vk)
+
+    assert (np.asarray(dev.hop_attr) == np.asarray(host.adj.hop_attr)).all()
+    assert np.allclose(np.asarray(dev.counts1), np.asarray(host.adj.counts1))
+    assert np.allclose(np.asarray(dev.countsk), np.asarray(host.adj.countsk))
