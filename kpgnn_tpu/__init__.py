@@ -22,3 +22,8 @@ utils     logging, seeding, misc
 """
 
 __version__ = "0.1.0"
+
+from .graph import Graph, GraphBatch, collate, collate_dense  # noqa: E402
+from .models import ModelConfig, make_model                   # noqa: E402
+from .prep import KHopConfig, extract_khop                    # noqa: E402
+from .train import GraphLoader, TrainConfig, Trainer          # noqa: E402
