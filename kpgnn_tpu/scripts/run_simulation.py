@@ -44,7 +44,14 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=50)
     p.add_argument("--r", type=int, default=3)
     p.add_argument("--graphs", type=int, default=10)
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep n and K, write collision plot (reference: "
+                        "run_simulation.py:143-162)")
+    p.add_argument("--plot_path", type=str, default="simulation.png")
     args = p.parse_args(argv)
+
+    if args.sweep:
+        return sweep(args)
 
     kcfg = KHopConfig(K=args.K, kernel="spd", max_edge_attr_num=10,
                       max_hop_num=1, max_edge_type=1, max_edge_count=1,
@@ -75,6 +82,54 @@ def main(argv=None):
           f"collision rate {np.mean(rates):.4f} "
           f"(theory: K needed ~ {bound:.2f})")
     return float(np.mean(rates))
+
+
+def sweep(args):
+    """Collision rate vs graph size for K = 1..4, against the paper's
+    bound on hops needed: 0.5 * log(2n) / log(r-1)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kcfg0 = dict(kernel="spd", max_edge_attr_num=10, max_hop_num=1,
+                 max_edge_type=1, max_edge_count=1, max_distance_count=1)
+    ns = [20, 40, 80, 160]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for K in (1, 2, 3, 4):
+        rates = []
+        for n in ns:
+            kcfg = KHopConfig(K=K, **kcfg0)
+            raw = generate_k_regular(n, args.r, args.graphs, args.seed)
+            gs = [extract_khop(g["num_nodes"], g["edge_index"], None, kcfg,
+                               x=g["x"], y=g["y"]) for g in raw]
+            mcfg = ModelConfig(
+                model_name="KPGIN", hidden_size=args.hidden_size // K * K,
+                num_layer=1, K=K, num_hop1_edge=1, max_pe_num=10,
+                JK="last", combine="geometric", virtual_node=False,
+                wo_peripheral_edge=True, wo_peripheral_configuration=True,
+                input_encoder=("embedding", 2), task="node_classification",
+                output_size=args.hidden_size // K * K)
+            model = make_model(mcfg)
+            rr = []
+            for i, g in enumerate(gs):
+                b = collate([g])
+                v = jax.jit(lambda r, bb: model.init(r, bb, train=False))(
+                    jax.random.PRNGKey(args.seed + i), b)
+                emb = np.asarray(model.apply(v, b, train=False))
+                rr.append(collision_rate(emb[np.asarray(b.node_mask)]))
+            rates.append(float(np.mean(rr)))
+        ax.plot(ns, rates, marker="o", label=f"K={K}")
+    bound_ns = np.array(ns, float)
+    ax.set_xscale("log")
+    ax.set_xlabel("graph size n (r-regular, r=%d)" % args.r)
+    ax.set_ylabel("node embedding collision rate")
+    ax.legend()
+    ax.set_title("untrained KP-GIN collisions "
+                 "(theory: K needed ~ 0.5 log(2n)/log(r-1))")
+    fig.tight_layout()
+    fig.savefig(args.plot_path, dpi=120)
+    print(f"wrote {args.plot_path}")
+    return args.plot_path
 
 
 if __name__ == "__main__":
