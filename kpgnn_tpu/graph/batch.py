@@ -24,8 +24,10 @@ story, one mechanism for both.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -277,32 +279,31 @@ def collate_dense(
             for k in range(K):
                 hop_attr[b, k, v, u] = ea[:, k]
 
-    # attr-code histograms per (graph, node, hop) via sparse scatter-add
-    # (edges are sparse; looping the vocab would scan B*K*n*n per value)
-    counts1 = np.zeros((g_pad, n_slot, v1), dtype=np.float32)
-    countsk = (np.zeros((g_pad, n_slot, K - 1, vk), dtype=np.float32)
-               if K > 1 else None)
-    b_i, i_i, j_i = np.nonzero(hop_attr[:, 0])
-    np.add.at(counts1,
-              (b_i, i_i, np.clip(hop_attr[:, 0][b_i, i_i, j_i], 0, v1 - 1)),
-              1.0)
-    if K > 1:
-        ak = hop_attr[:, 1:]                          # (B, K-1, n, n)
-        b_i, k_i, i_i, j_i = np.nonzero(ak)
-        np.add.at(countsk,
-                  (b_i, i_i, k_i,
-                   np.clip(ak[b_i, k_i, i_i, j_i], 0, vk - 1)),
-                  1.0)
-
     graph_mask = np.zeros((g_pad,), dtype=bool)
     graph_mask[:B] = True
-    adj = DenseAdj(
-        hop_attr=jnp.asarray(hop_attr),
-        counts1=jnp.asarray(counts1),
-        countsk=jnp.asarray(countsk) if countsk is not None else None,
-    )
+    # ship a compact int16 tensor; the attr-code histograms are one-hot
+    # sums computed on-device (saves ~60% of the host->device bytes and
+    # all host-side histogram time)
+    adj = _device_dense_adj(jnp.asarray(hop_attr.astype(np.int16)), v1, vk)
     return _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids,
                    graph_mask, y_is_node_level, slot=n_slot)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _device_dense_adj(hop16: jnp.ndarray, v1: int, vk: int) -> DenseAdj:
+    """(B, K, n, n) int16 attr codes -> DenseAdj with on-device count
+    histograms (counts1/countsk row 0 zeroed: code 0 is the mask)."""
+    hop = hop16.astype(jnp.int32)
+    K = hop.shape[1]
+    counts1 = jnp.sum(
+        jax.nn.one_hot(jnp.clip(hop[:, 0], 0, v1 - 1), v1), axis=-2)
+    counts1 = counts1.at[..., 0].set(0.0)
+    countsk = None
+    if K > 1:
+        ck = jnp.sum(
+            jax.nn.one_hot(jnp.clip(hop[:, 1:], 0, vk - 1), vk), axis=-2)
+        countsk = jnp.swapaxes(ck, 1, 2).at[..., 0].set(0.0)
+    return DenseAdj(hop_attr=hop, counts1=counts1, countsk=countsk)
 
 
 def _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids, graph_mask,
