@@ -83,7 +83,7 @@ def _kernel(indptr_ref, senders_ref, x_ref, starts_ref, out_ref, xbuf):
             xbuf[pl.ds(j, 1), :] = x_ref[pl.ds(s, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, TILE_E, gather_row, 0, unroll=16)
+        jax.lax.fori_loop(0, TILE_E, gather_row, 0, unroll=TILE_E)
 
         # local receiver id of edge e in row r: starts are nondecreasing
         # and e < indptr[r0+r+1] <= every later start, so
