@@ -53,8 +53,10 @@ class HopCSR(NamedTuple):
     """One hop's live edges, receiver-sorted, tile-aligned."""
 
     indptr: jnp.ndarray        # (N+1,) int32 into the padded edge list
-    senders: jnp.ndarray       # (E_pad,) int32, E_pad % TILE_E == 0
+    senders2d: jnp.ndarray     # (E_pad/TILE_E, TILE_E) int32
     row_starts: jnp.ndarray    # (N, 1) int32 == indptr[:-1]
+    row_ends: jnp.ndarray      # (N, 1) int32 == indptr[1:]
+    max_chunks: int            # static max edge chunks over all row tiles
 
 
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
@@ -64,51 +66,62 @@ def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     return (codes[..., None] == iota).astype(jnp.float32)
 
 
-def _kernel(indptr_ref, senders_ref, x_ref, starts_ref, out_ref, xbuf):
+def _kernel(max_chunks, precision, indptr_ref, senders2d_hbm, x_ref,
+            starts_ref, ends_ref, out_ref, sbuf, sem):
+    # CRITICAL Mosaic behavior (measured): a fori_loop with a *traced*
+    # trip count lowers to a serializing while-loop at ~1 ms/iteration;
+    # the same body under a static python loop with pl.when predication
+    # runs at ~8 us/iteration.  So the chunk count is a static bound and
+    # empty chunks are predicated off.
     i = pl.program_id(0)
     r0 = i * TILE_R
     e_lo = indptr_ref[r0]              # multiple of TILE_E by construction
     e_hi = indptr_ref[r0 + TILE_R]
     starts_col = starts_ref[...]                              # (TILE_R, 1)
+    ends_col = ends_ref[...]                                  # (TILE_R, 1)
+    N = x_ref.shape[0]
 
     out_ref[...] = jnp.zeros_like(out_ref)
-    n_chunks = pl.cdiv(e_hi - e_lo, TILE_E)
 
-    def chunk_body(c, _):
+    for c in range(max_chunks):
         off = e_lo + c * TILE_E
 
-        # gather sender rows VMEM -> VMEM (x is resident; cheap row loads)
-        def gather_row(j, _):
-            s = senders_ref[off + j]
-            xbuf[pl.ds(j, 1), :] = x_ref[pl.ds(s, 1), :]
-            return 0
+        @pl.when(off < e_hi)
+        def _():
+            row = off // TILE_E
+            dma = pltpu.make_async_copy(
+                senders2d_hbm.at[pl.ds(row, 1), :], sbuf, sem)
+            dma.start()
+            dma.wait()
+            # sender gather as a one-hot matmul against the VMEM-resident
+            # node table (row-DMA loops and dynamic VMEM loads are
+            # latency-bound; this rides the MXU)
+            codes_col = jnp.transpose(sbuf[...])              # (TILE_E, 1)
+            s_oh = (codes_col == jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_E, N), 1)).astype(jnp.float32)
+            sx = jax.lax.dot_general(
+                s_oh, x_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)           # (TILE_E, D)
 
-        jax.lax.fori_loop(0, TILE_E, gather_row, 0, unroll=TILE_E)
-
-        # local receiver id of edge e in row r: starts are nondecreasing
-        # and e < indptr[r0+r+1] <= every later start, so
-        # local_recv = (number of row starts <= e) - 1.
-        # Built row-major so the reduction matmul needs no transposes.
-        eidx = off + jax.lax.broadcasted_iota(
-            jnp.int32, (1, TILE_E), 1)                        # (1, TILE_E)
-        ge = (eidx >= starts_col).astype(jnp.int32)           # (TILE_R,TILE_E)
-        local_recv = jnp.sum(ge, axis=0, keepdims=True) - 1   # (1, TILE_E)
-        ohr_t = (jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_R, TILE_E), 0) == local_recv
-        ).astype(jnp.float32)                                 # (TILE_R,TILE_E)
-        partial = jax.lax.dot_general(
-            ohr_t, xbuf[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)               # (TILE_R, D)
-        out_ref[...] += partial
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            # receiver membership as a pure elementwise range test —
+            # row r owns edges [indptr[r], indptr[r+1]); no cross-lane
+            # reductions anywhere in the kernel
+            eidx = off + jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_E), 1)                    # (1, TILE_E)
+            ohr_t = ((eidx >= starts_col) & (eidx < ends_col)
+                     ).astype(jnp.float32)                    # (TILE_R,TILE_E)
+            out_ref[...] += jax.lax.dot_general(
+                ohr_t, sx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)
 
 
 def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
 
     x: (N, D) float32, N % TILE_R == 0.  Row N-1 must be a padding slot
@@ -125,23 +138,26 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
         x = jnp.pad(x, ((0, 0), (0, D - D_in)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n // TILE_R,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                # senders2d
             pl.BlockSpec(memory_space=pltpu.VMEM),            # x (full)
             pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row starts
+            pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row ends
         ],
         out_specs=pl.BlockSpec((TILE_R, D), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE_E, D), jnp.float32),
+            pltpu.VMEM((1, TILE_E), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, csr.max_chunks, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
         interpret=interpret,
-    )(csr.indptr, csr.senders, x, csr.row_starts)
+    )(csr.indptr, csr.senders2d, x, csr.row_starts, csr.row_ends)
     return out[:, :D_in] if D != D_in else out
 
 
@@ -178,11 +194,18 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         flat = np.full(tile_e, n_nodes - 1, np.int64)
         pos = tile_e
         indptr[n_nodes] = 0
+    # tile t's padded segment length = next tile start - this tile start
+    starts = [int(indptr[t * tile_r]) for t in range(n_tiles)] + [int(pos)]
+    max_chunks = max(
+        (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles))
     return HopCSR(
         indptr=jnp.asarray(indptr.astype(np.int32)),
-        senders=jnp.asarray(flat.astype(np.int32)),
+        senders2d=jnp.asarray(flat.astype(np.int32).reshape(-1, tile_e)),
         row_starts=jnp.asarray(indptr[:-1].astype(np.int32)
                                .reshape(n_nodes, 1)),
+        row_ends=jnp.asarray(indptr[1:].astype(np.int32)
+                             .reshape(n_nodes, 1)),
+        max_chunks=max(max_chunks, 1),
     )
 
 
