@@ -306,6 +306,31 @@ def _device_dense_adj(hop16: jnp.ndarray, v1: int, vk: int) -> DenseAdj:
     return DenseAdj(hop_attr=hop, counts1=counts1, countsk=countsk)
 
 
+def collate_pallas(
+    graphs: Sequence[Graph],
+    v1: int,
+    vk: int,
+    n_pad: Optional[int] = None,
+    e_pad: Optional[int] = None,
+    g_pad: Optional[int] = None,
+    spec: Optional[BucketSpec] = None,
+    y_is_node_level: bool = False,
+) -> GraphBatch:
+    """COO collation whose adjacency is a per-hop Pallas kernel plan
+    (ops/pallas_spmm.py) — the fast sparse backend for sum-aggregating
+    layer families (KPGIN / KPGINPlus / GINE)."""
+    from ..ops.pallas_spmm import build_plan
+
+    batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                    spec=spec, y_is_node_level=y_is_node_level)
+    coo = batch.adj
+    em = np.asarray(coo.edge_mask)
+    plan = build_plan(
+        np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
+        np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk)
+    return batch.replace(adj=plan)
+
+
 def _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids, graph_mask,
             y_is_node_level, slot):
     x = _cat_nodes(graphs, "x", n_pad, slot)

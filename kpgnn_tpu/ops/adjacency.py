@@ -74,7 +74,7 @@ class DenseAdj:
         )
 
 
-Adjacency = Union[COOAdj, DenseAdj]
+Adjacency = Union[COOAdj, DenseAdj, "KHopPallasPlan"]
 
 
 def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
@@ -83,6 +83,9 @@ def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
 
 def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
     """(N, K) per-hop in-degree over live hop entries."""
+    if not isinstance(adj, (COOAdj, DenseAdj)):
+        raise ValueError("degree() needs the COO or dense backend "
+                         "(the pallas plan drops per-edge hop masks)")
     if isinstance(adj, COOAdj):
         live = (adj.edge_attr > 0).astype(jnp.float32)
         deg = jax.ops.segment_sum(live, adj.receivers,
@@ -124,6 +127,16 @@ def khop_aggregate_adj(
     the dense path a pure matmul; generic per-edge scales only exist on
     the COO path.
     """
+    from .pallas_spmm import KHopPallasPlan, khop_spmm
+
+    if isinstance(adj, KHopPallasPlan):
+        if scale is not None or sender_scale is not None or aggr != "add":
+            raise ValueError(
+                "the pallas backend supports plain sum aggregation only "
+                "(use the COO backend for GCN norms / mean aggregation)")
+        return khop_spmm(x.astype(jnp.float32), table1, tablek, adj
+                         ).astype(x.dtype)
+
     table1 = _zero_row0(table1).astype(x.dtype)
     tablek = (_zero_row0(tablek).astype(x.dtype)
               if tablek is not None else None)

@@ -41,6 +41,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,14 +50,17 @@ TILE_E = 128          # edges per inner chunk
 VMEM_X_LIMIT = 8 * 1024 * 1024   # max bytes of node table kept in VMEM
 
 
-class HopCSR(NamedTuple):
+@struct.dataclass
+class HopCSR:
     """One hop's live edges, receiver-sorted, tile-aligned."""
 
     indptr: jnp.ndarray        # (N+1,) int32 into the padded edge list
     senders2d: jnp.ndarray     # (E_pad/TILE_E, TILE_E) int32
     row_starts: jnp.ndarray    # (N, 1) int32 == indptr[:-1]
     row_ends: jnp.ndarray      # (N, 1) int32 == indptr[1:]
-    max_chunks: int            # static max edge chunks over all row tiles
+    # static: a traced chunk bound would lower to Mosaic's serializing
+    # while-loop (see _kernel)
+    max_chunks: int = struct.field(pytree_node=False)
 
 
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
@@ -209,13 +213,28 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     )
 
 
-class KHopPallasPlan(NamedTuple):
-    """Per-hop forward/backward CSRs + embedding count histograms."""
+@struct.dataclass
+class KHopPallasPlan:
+    """Per-hop forward/backward CSRs + embedding count histograms.
+
+    Doubles as a GraphBatch adjacency backend ("pallas" collate mode).
+    """
 
     fwd: Tuple[HopCSR, ...]         # per hop, receiver-sorted live edges
     bwd: Tuple[HopCSR, ...]         # per hop, sender-sorted (transpose)
     counts1: jnp.ndarray            # (N, V1) hop-1 attr histogram
     countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) | None
+
+    @property
+    def K(self) -> int:
+        return len(self.fwd)
+
+    def slice_hops(self, k: int) -> "KHopPallasPlan":
+        return KHopPallasPlan(
+            fwd=self.fwd[:k], bwd=self.bwd[:k],
+            counts1=self.counts1,
+            countsk=(self.countsk[:, :k - 1] if k > 1 else None),
+        )
 
 
 def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int

@@ -18,7 +18,8 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..graph.batch import BucketSpec, GraphBatch, collate, collate_dense
+from ..graph.batch import (BucketSpec, GraphBatch, collate, collate_dense,
+                           collate_pallas)
 from ..graph.data import Graph
 
 
@@ -56,9 +57,11 @@ class GraphLoader:
         self.mode = mode
         spec = spec or BucketSpec()
 
+        if mode in ("dense", "pallas") and (v1 is None or vk is None):
+            raise ValueError(f"{mode} mode needs v1/vk vocab sizes")
+        if mode == "pallas":
+            self.v1, self.vk = v1, vk
         if mode == "dense":
-            if v1 is None or vk is None:
-                raise ValueError("dense mode needs v1/vk vocab sizes")
             max_n = max(g.num_nodes for g in self.graphs)
             self.n_slot = n_slot if n_slot is not None else _round_up(max_n, 8)
             if max_n > self.n_slot:
@@ -89,6 +92,11 @@ class GraphLoader:
             return collate_dense(
                 batch_graphs, n_slot=self.n_slot, v1=self.v1, vk=self.vk,
                 g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
+        if self.mode == "pallas":
+            return collate_pallas(
+                batch_graphs, v1=self.v1, vk=self.vk, n_pad=self.n_pad,
+                e_pad=self.e_pad, g_pad=self.g_pad,
+                y_is_node_level=self.y_is_node_level)
         return collate(
             batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
             g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

@@ -114,3 +114,57 @@ def test_full_model_dense_equals_coo():
     a = out_coo[np.flatnonzero(np.asarray(coo.graph_mask))]
     b = out_dense[np.flatnonzero(np.asarray(dense.graph_mask))]
     assert np.allclose(a, b, atol=1e-4), np.abs(a - b).max()
+
+
+def test_pallas_backend_equals_coo(monkeypatch):
+    """Third backend: the Pallas kernel plan, via interpret mode on CPU."""
+    import kpgnn_tpu.ops.pallas_spmm as ps
+
+    orig = ps.gather_segment_sum
+    monkeypatch.setattr(
+        ps, "gather_segment_sum",
+        lambda x, csr, interpret=True, **kw: orig(x, csr, interpret=True))
+
+    from kpgnn_tpu.graph.batch import collate_pallas
+
+    K = 3
+    gs = graphs_case(K, seed=8, n_graphs=3)
+    coo = collate(gs, n_pad=128, e_pad=256, g_pad=len(gs) + 1)
+    pal = collate_pallas(gs, v1=V1, vk=VK, n_pad=128, e_pad=256,
+                         g_pad=len(gs) + 1)
+
+    conv = KPGINConv(hidden_size=12, K=K, num_hop1_edge=V1 - 2, num_pe=VK - 2)
+    pa = jnp.zeros((coo.n_pad, K, 4))
+    v = conv.init(jax.random.PRNGKey(0), coo.x, coo.adj, coo.pe_attr, pa)
+    out_coo = np.asarray(conv.apply(v, coo.x, coo.adj, coo.pe_attr, pa))
+    out_pal = np.asarray(conv.apply(v, pal.x, pal.adj, pal.pe_attr, pa))
+    rows = real_rows(coo)
+    assert np.allclose(out_coo[rows], out_pal[rows], atol=1e-4), \
+        np.abs(out_coo[rows] - out_pal[rows]).max()
+
+
+def test_pallas_backend_full_model(monkeypatch):
+    import kpgnn_tpu.ops.pallas_spmm as ps
+
+    orig = ps.gather_segment_sum
+    monkeypatch.setattr(
+        ps, "gather_segment_sum",
+        lambda x, csr, interpret=True, **kw: orig(x, csr, interpret=True))
+
+    from kpgnn_tpu.graph.batch import collate_pallas
+
+    K = 3
+    gs = graphs_case(K, seed=9, n_graphs=4)
+    coo = collate(gs, n_pad=128, e_pad=256, g_pad=5)
+    pal = collate_pallas(gs, v1=V1, vk=VK, n_pad=128, e_pad=256, g_pad=5)
+    cfg = ModelConfig(
+        model_name="KPGIN", hidden_size=12, num_layer=2, K=K,
+        num_hop1_edge=V1 - 2, max_pe_num=VK - 2, norm_type="Batch",
+        virtual_node=True, JK="concat", input_encoder=("linear", 12),
+        task="graph_regression", pooling_method="mean")
+    model = make_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), coo, train=False)
+    a = np.asarray(model.apply(v, coo, train=False))
+    b = np.asarray(model.apply(v, pal, train=False))
+    g = np.flatnonzero(np.asarray(coo.graph_mask))
+    assert np.allclose(a[g], b[g], atol=1e-4), np.abs(a[g] - b[g]).max()
