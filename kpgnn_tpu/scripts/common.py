@@ -80,7 +80,13 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--wo_edge_feature", action="store_true")
     p.add_argument("--reprocess", action="store_true")
     p.add_argument("--dense", action="store_true",
-                   help="use the dense MXU adjacency backend")
+                   help="shorthand for --backend dense")
+    p.add_argument("--backend", type=str, default="coo",
+                   choices=("coo", "dense", "pallas"),
+                   help="adjacency backend: dense MXU tiles (small "
+                        "graphs), COO segment-sum (general), or the "
+                        "Pallas kernel plan (sparse, sum-aggregating "
+                        "families)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
     p.add_argument("--parallel", action="store_true",
@@ -169,11 +175,12 @@ def prepare(raw_graphs, args, cache_name: str):
 
 
 def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
-    """Loader mode kwargs; --dense needs the model vocab sizes."""
-    if not args.dense:
+    """Loader mode kwargs; dense/pallas need the model vocab sizes."""
+    backend = "dense" if getattr(args, "dense", False) else args.backend
+    if backend == "coo":
         return {"mode": "coo"}
     return {
-        "mode": "dense",
+        "mode": backend,
         "v1": mcfg.num_hop1_edge + 2,
         "vk": mcfg.max_pe_num + 2,
     }
