@@ -268,17 +268,26 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@jax.custom_vjp
 def _gather_segment(x, csr_fwd: HopCSR, csr_bwd: HopCSR):
+    # csr args are traced batch data under jit, so they sit in regular
+    # (differentiable) positions; their cotangents are float0 (ints).
     return gather_segment_sum(x, csr_fwd)
 
 
+def _float0_like(csr: HopCSR) -> HopCSR:
+    return jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), csr)
+
+
 def _gs_fwd(x, csr_fwd, csr_bwd):
-    return gather_segment_sum(x, csr_fwd), None
+    return gather_segment_sum(x, csr_fwd), (csr_fwd, csr_bwd)
 
 
-def _gs_bwd(csr_fwd, csr_bwd, _, g):
-    return (gather_segment_sum(g, csr_bwd),)
+def _gs_bwd(res, g):
+    csr_fwd, csr_bwd = res
+    dx = gather_segment_sum(g, csr_bwd)
+    return dx, _float0_like(csr_fwd), _float0_like(csr_bwd)
 
 
 _gather_segment.defvjp(_gs_fwd, _gs_bwd)
