@@ -256,3 +256,48 @@ def test_kpsage_mean_denominator_matches_reference_semantics():
     comb = (h * thetas[None]).sum(1)
     expect = comb @ p["combine_proj"]["kernel"] + p["combine_proj"]["bias"]
     assert np.allclose(out, expect, atol=1e-5), np.abs(out - expect).max()
+
+
+def test_gine_matches_numpy_oracle():
+    """GINE (reference: layers/gine.py): masked 1-hop message + (1+eps)x
+    + BN MLP — oracle with torch BatchNorm for the MLP stats."""
+    torch = pytest.importorskip("torch")
+    from kpgnn_tpu.nn import GINEConv
+
+    n, e = 7, 14
+    rng = np.random.default_rng(21)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    ea = rng.integers(2, 5, size=(e, 1))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    g = Graph(num_nodes=n, edge_index=ei, edge_attr=ea, x=x,
+              y=np.zeros(1, np.float32))
+    b = collate([g], n_pad=16, e_pad=32, g_pad=2)
+
+    conv = GINEConv(hidden_size=8, num_hop1_edge=4)
+    v = conv.init(jax.random.PRNGKey(5), b.x, b.adj.slice_hops(1),
+                  b.node_mask)
+    out, _ = conv.apply(v, b.x, b.adj.slice_hops(1), b.node_mask,
+                        True, mutable=["batch_stats"])
+    out = np.asarray(out)[:n]
+
+    p = jax.tree.map(np.asarray, v["params"])
+    t1 = p["hop1_edge_emb"].copy()
+    t1[0] = 0
+    msg = x[ei[0]] + t1[ea[:, 0]]
+    agg = np.zeros_like(x)
+    np.add.at(agg, ei[1], msg)
+    h = agg + x                               # eps = 0
+
+    def torch_lin_bn_relu(h, lin, bn_affine):
+        z = h @ lin["kernel"] + lin["bias"]
+        ref = torch.nn.BatchNorm1d(z.shape[1])
+        with torch.no_grad():
+            ref.weight.copy_(torch.from_numpy(bn_affine["scale"]))
+            ref.bias.copy_(torch.from_numpy(bn_affine["bias"]))
+            z = ref(torch.from_numpy(z.astype(np.float32))).numpy()
+        return np.maximum(z, 0)
+
+    mlp = p["mlp"]
+    h = torch_lin_bn_relu(h, mlp["lin0"], mlp["bn0"])
+    h = torch_lin_bn_relu(h, mlp["lin1"], mlp["bn1"])
+    assert np.allclose(out, h, atol=1e-4), np.abs(out - h).max()
