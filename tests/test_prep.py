@@ -247,3 +247,27 @@ def test_device_khop_matches_host(kernel):
     assert (np.asarray(dev.hop_attr) == np.asarray(host.adj.hop_attr)).all()
     assert np.allclose(np.asarray(dev.counts1), np.asarray(host.adj.counts1))
     assert np.allclose(np.asarray(dev.countsk), np.asarray(host.adj.countsk))
+
+
+def test_preprocess_runner_parallel_and_cache(tmp_path):
+    from kpgnn_tpu.prep import preprocess_graphs
+
+    rng = np.random.default_rng(0)
+    raws = []
+    for i in range(80):
+        n = int(rng.integers(5, 9))
+        n_, ei, ea = random_graph(n, 0.4, i)
+        raws.append({"num_nodes": n_, "edge_index": ei, "edge_attr": ea,
+                     "x": np.zeros((n_, 1), np.int64),
+                     "y": np.array([0.0], np.float32)})
+    cfg = KHopConfig(K=2, kernel="spd", max_edge_attr_num=5)
+    g1 = preprocess_graphs(raws, cfg, cache_dir=str(tmp_path), name="t",
+                           num_workers=2)
+    # second call hits the cache
+    g2 = preprocess_graphs(raws, cfg, cache_dir=str(tmp_path), name="t")
+    assert len(g1) == len(g2) == 80
+    assert (g1[3].edge_attr == g2[3].edge_attr).all()
+    # different config -> different cache entry
+    cfg2 = KHopConfig(K=3, kernel="spd", max_edge_attr_num=5)
+    g3 = preprocess_graphs(raws, cfg2, cache_dir=str(tmp_path), name="t")
+    assert g3[3].edge_attr.shape[1] == 3
