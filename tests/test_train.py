@@ -179,3 +179,22 @@ def test_gnnprime_trains_on_triangles(dataset):
                       loss="cross_entropy", metric_mode="max")
     state, res = trainer.fit(tl, vl, vl, rng=jax.random.PRNGKey(2))
     assert res["best_val"] > 0.8, res["best_val"]
+
+
+def test_activation_capture(dataset, tmp_path):
+    from kpgnn_tpu.utils.parity import capture_activations, dump_activations
+    from kpgnn_tpu.train import GraphLoader
+
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset[:8], batch_size=8)
+    batch = next(iter(loader))
+    v = model.init(jax.random.PRNGKey(0), batch, train=False)
+    acts = capture_activations(model, v, batch)
+    # per-layer conv outputs present
+    keys = list(acts)
+    assert any("gnn0" in k for k in keys), keys[:10]
+    assert any("gnn1" in k for k in keys)
+    import os
+    shapes = dump_activations(model, v, batch, str(tmp_path / "acts.npz"))
+    assert os.path.exists(tmp_path / "acts.npz")
+    assert len(shapes) == len(acts)
