@@ -17,7 +17,7 @@ from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
 
 
 def main(argv=None):
-    p = base_parser("substructure counting", model_name="KPGIN", K=3,
+    p = base_parser("substructure counting", model_name="KPGINPlus", K=3,
                     hidden_size=96, num_layer=3, num_epochs=250,
                     batch_size=64, kernel="gd", lr=1e-2, max_pe_num=50,
                     max_hop_num=5, max_edge_type=1, max_edge_count=50,

@@ -18,7 +18,7 @@ from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
 
 
 def main(argv=None):
-    p = base_parser("graph property", model_name="KPGIN", K=6,
+    p = base_parser("graph property", model_name="KPGINPlus", K=6,
                     hidden_size=96, num_layer=6, num_epochs=250,
                     batch_size=128, max_pe_num=50, max_hop_num=5,
                     max_edge_type=1, max_edge_count=50,
