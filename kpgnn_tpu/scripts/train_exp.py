@@ -44,14 +44,18 @@ def main(argv=None):
     model = make_model(mcfg)
     lk = loader_kwargs(args, mcfg, graphs)
 
+    # contiguous block folds keep each 1-WL pair intact and both classes
+    # in every split (reference: train_EXP.py:260-282)
     n = len(graphs)
     idx = np.arange(n)
     accs = []
+    per = n // args.folds
     for fold in range(args.folds):
-        test = idx[idx % args.folds == fold]
-        val = idx[idx % args.folds == (fold + 1) % args.folds]
-        train = idx[(idx % args.folds != fold) &
-                    (idx % args.folds != (fold + 1) % args.folds)]
+        test = idx[fold * per:(fold + 1) * per]
+        rest = np.concatenate([idx[:fold * per], idx[(fold + 1) * per:]])
+        vn = len(rest) // args.folds
+        val = rest[fold * vn:(fold + 1) * vn]
+        train = np.concatenate([rest[:fold * vn], rest[(fold + 1) * vn:]])
         tl = GraphLoader([graphs[i] for i in train], args.batch_size,
                          shuffle=True, seed=args.seed + fold, **lk)
         vl = GraphLoader([graphs[i] for i in val], args.batch_size, **lk)
