@@ -77,10 +77,18 @@ def load_zinc(root: str, subset: bool = True,
     return out
 
 
-def load_qm9(root: str) -> List[dict]:
+def load_qm9(root: str, targets_raw_order: bool = True) -> List[dict]:
     """Returns raw graph dicts with x (11 continuous features), z (atom
-    codes), pos, edge_attr (bond type + 2), y (19 reordered, converted
-    targets)."""
+    codes), pos, edge_attr (bond type + 2), y (19 targets in reference
+    ordering and units).
+
+    ``targets_raw_order=True`` (default) treats the dump's y rows as the
+    raw gdb9 CSV ordering/units and applies `qm9_reorder_and_convert`, so
+    task indices match the reference protocol
+    (reference: datasets/QM9Dataset.py:222-223).  Pass False if the dump's
+    targets are already in the processed ordering (PyG's official
+    qm9_v3.pt ships pre-reordered/converted y — applying the transform
+    twice would double-convert)."""
     import torch  # cpu build, used only to read the tensor dump
 
     path = os.path.join(root, "raw", "qm9_v3.pt")
@@ -98,6 +106,8 @@ def load_qm9(root: str) -> List[dict]:
         ea = _np(d["edge_attr"])
         ea = (ea.argmax(axis=1) if ea.ndim == 2 else ea).astype(np.int64) + 2
         y = _np(d["y"]).astype(np.float64).reshape(-1)[:19]
+        if targets_raw_order:
+            y = qm9_reorder_and_convert(y)
         graphs.append({
             "num_nodes": int(_np(d["x"]).shape[0]),
             "edge_index": ei,
@@ -111,7 +121,9 @@ def load_qm9(root: str) -> List[dict]:
 
 
 def qm9_reorder_and_convert(target: np.ndarray) -> np.ndarray:
-    """Raw 19-target row -> reference ordering and units
-    (reference: datasets/QM9Dataset.py:222-223)."""
+    """Raw 19-target row -> reference ordering and units: columns [3:]
+    then [:3], scaled by the per-target unit conversion (Hartree->eV,
+    kcal/mol->eV), conversion indexed in the NEW order
+    (reference: datasets/QM9Dataset.py:20-26,222-223)."""
     t = np.concatenate([target[3:], target[:3]])
     return t * QM9_CONVERSION

@@ -117,7 +117,10 @@ def bfs_apsp(adj_bool: np.ndarray, max_length: int) -> np.ndarray:
         if h < max_length:
             if not new.any():
                 break
-            reach = (reach.astype(np.int8) @ adj_bool.astype(np.int8)) > 0
+            # frontier-only expansion, accumulated in int32: the previous
+            # int8 walk-count matmul wrapped negative past 127 walks and
+            # silently corrupted distances on dense neighborhoods
+            reach = (new.astype(np.int32) @ adj_bool.astype(np.int32)) > 0
     return dist
 
 

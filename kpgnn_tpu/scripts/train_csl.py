@@ -42,9 +42,11 @@ def main(argv=None):
                          shuffle=True, seed=args.seed + fold, **lk)
         vl = GraphLoader([graphs[i] for i in va], args.batch_size, **lk)
         el = GraphLoader([graphs[i] for i in te], args.batch_size, **lk)
+        # best epoch gated on highest val accuracy, constant LR
+        # (reference: train_CSL.py:250-254; no scheduler in its loop)
         trainer = Trainer(model, train_config(args, "cross_entropy"),
                           loss="cross_entropy", metric_mode="max",
-                          logger=logger)
+                          use_scheduler=False, logger=logger)
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + fold))
         acc = res["best_test"].get("accuracy", 0.0)

@@ -60,9 +60,11 @@ def main(argv=None):
                          shuffle=True, seed=args.seed + fold, **lk)
         vl = GraphLoader([graphs[i] for i in val], args.batch_size, **lk)
         el = GraphLoader([graphs[i] for i in test], args.batch_size, **lk)
+        # best epoch gated on lowest val loss, constant LR
+        # (reference: train_EXP.py:298-301; no scheduler in its loop)
         trainer = Trainer(model, train_config(args, "cross_entropy"),
-                          loss="cross_entropy", metric_mode="max",
-                          logger=logger)
+                          loss="cross_entropy", metric_mode="min",
+                          use_scheduler=False, logger=logger)
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + fold))
         acc = res["best_test"].get("accuracy", 0.0)

@@ -30,6 +30,11 @@ def main(argv=None):
                     patience=5)
     p.add_argument("--task", type=int, default=0, choices=range(19))
     p.add_argument("--use_pos", action="store_true")
+    # "post": train in converted (eV) units, log MAE/conversion too;
+    # "pre": divide targets back to original units before training
+    # (reference: train_qm9.py:61-70,185-187)
+    p.add_argument("--convert", type=str, default="post",
+                   choices=("pre", "post"))
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"QM9t{args.task}")
 
@@ -37,6 +42,11 @@ def main(argv=None):
     graphs = prepare(raw, args, "QM9")
 
     t = args.task
+    if args.convert == "pre":
+        from ..data.molecules import QM9_CONVERSION
+        graphs = [g.replace(y=np.asarray(
+            g.y / np.float32(QM9_CONVERSION[t]), np.float32))
+            for g in graphs]
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(graphs))
     n = len(graphs)
@@ -71,8 +81,16 @@ def main(argv=None):
                       loss="mse", metric_mode="min", eval_metric="mae",
                       logger=logger)
     _, res = trainer.fit(tl, vl, el, rng=jax.random.PRNGKey(args.seed))
+    # reference log line: MAE in dataset units, /std (normalized), and
+    # /conversion back to original units when training post-conversion
+    # (reference: train_qm9.py:303-312)
+    from ..data.molecules import QM9_CONVERSION
     mae = res["best_test"].get("mae", float("nan")) * std
-    logger.info(f"QM9 target {t}: test MAE (converted units) {mae:.5f}")
+    mae_norm = mae / std
+    mae_convert = (mae / float(QM9_CONVERSION[t])
+                   if args.convert == "post" else 0.0)
+    logger.info(f"QM9 target {t}: test MAE {mae:.5f}, "
+                f"MAE norm {mae_norm:.5f}, MAE convert {mae_convert:.5f}")
     return float(mae)
 
 

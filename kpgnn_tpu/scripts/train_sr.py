@@ -42,8 +42,11 @@ def main(argv=None):
     loader = GraphLoader(graphs, args.batch_size, shuffle=True,
                          seed=args.seed, **lk)
     eval_loader = GraphLoader(graphs, args.batch_size, **lk)
+    # best test accuracy over epochs, constant LR
+    # (reference: train_SR.py:224-226; no scheduler in its loop)
     trainer = Trainer(model, train_config(args, "cross_entropy"),
                       loss="cross_entropy", metric_mode="max",
+                      use_scheduler=False,
                       bn_train_mode_eval=True, logger=logger)
     _, res = trainer.fit(loader, eval_loader, eval_loader,
                          rng=jax.random.PRNGKey(args.seed))

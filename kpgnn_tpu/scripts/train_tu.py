@@ -43,13 +43,15 @@ def run_fold(model, args, logger, fold, train_graphs, val_graphs,
     el = GraphLoader(test_graphs, args.batch_size, **lk)
     rng = jax.random.PRNGKey(args.seed + fold)
     rng, init_rng = jax.random.split(rng)
-    state, tx = create_train_state(model, next(iter(tl)), init_rng,
+    state, tx = create_train_state(model, tl.example(), init_rng,
                                    args.lr, args.l2_wd)
     train_step = make_train_step(model, tx, "cross_entropy")
     eval_step = make_eval_step(model, "cross_entropy")
     accs, vals = [], []
     for epoch in range(args.num_epochs):
-        state = set_lr(state, args.lr * (0.5 ** (epoch // 50)))
+        # step decay by --factor every 50 epochs
+        # (reference: train_TU.py:82,119-121,330)
+        state = set_lr(state, args.lr * (args.factor ** (epoch // 50)))
         rng, sub = jax.random.split(rng)
         state, tr_loss = train_epoch(train_step, state, tl, sub)
         test = evaluate(eval_step, state, el)
@@ -57,8 +59,9 @@ def run_fold(model, args, logger, fold, train_graphs, val_graphs,
         if vl is not None:
             vals.append(evaluate(eval_step, state, vl)["accuracy"])
         if (epoch + 1) % 25 == 0:
-            logger.info(f"fold {fold} epoch {epoch}: loss {tr_loss:.4f} "
-                        f"test acc {accs[-1]:.4f}")
+            logger.info(f"fold {fold} epoch {epoch}: "
+                        f"lr {args.lr * (args.factor ** (epoch // 50)):.6f} "
+                        f"loss {tr_loss:.4f} test acc {accs[-1]:.4f}")
     return np.array(accs), (np.array(vals) if vals else None)
 
 

@@ -81,6 +81,11 @@ class GraphLoader:
             self.n_pad, self.e_pad = n_pad, e_pad
             self.g_pad = batch_size + 1
 
+    def example(self) -> GraphBatch:
+        """One representative batch (for model init / shape probing),
+        collated inline — no producer thread, no epoch state touched."""
+        return self._collate(self.graphs[: self.batch_size])
+
     def __len__(self) -> int:
         n = len(self.graphs)
         if self.drop_last:

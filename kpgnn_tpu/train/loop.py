@@ -170,6 +170,13 @@ class Trainer:
     loss: str = "l1"
     node_level: bool = False
     metric_mode: str = "min"            # "min" tracks loss, "max" accuracy
+    sched_on: str = "metric"            # "metric" | "loss": what drives the
+                                        # plateau LR; "loss" = val-loss min
+                                        # mode even on accuracy tasks
+    use_scheduler: bool = True          # False = constant LR, like the
+                                        # reference expressiveness scripts
+                                        # (train_EXP/CSL/SR have no
+                                        # scheduler, only best-epoch gating)
     eval_metric: str = "same"
     bn_train_mode_eval: bool = False
     logger: Optional[object] = None
@@ -185,7 +192,11 @@ class Trainer:
             rng=None, epoch_callback=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         rng, init_rng = jax.random.split(rng)
-        example = next(iter(train_loader))
+        # loader.example() collates one probe batch without starting the
+        # shuffled producer thread (which would leak, blocked on its queue)
+        example = (train_loader.example()
+                   if hasattr(train_loader, "example")
+                   else next(iter(train_loader)))
         state, tx = create_train_state(
             self.model, example, init_rng, self.cfg.lr, self.cfg.l2_wd)
         if self.mesh is not None:
@@ -197,9 +208,10 @@ class Trainer:
                                          self.node_level)
         eval_step = make_eval_step(self.model, self.loss, self.node_level,
                                    self.eval_metric, self.bn_train_mode_eval)
+        sched_mode = "min" if self.sched_on == "loss" else self.metric_mode
         sched = ReduceLROnPlateau(
             factor=self.cfg.factor, patience=self.cfg.patience,
-            min_lr=self.cfg.min_lr, mode=self.metric_mode)
+            min_lr=self.cfg.min_lr, mode=sched_mode)
 
         saver = None
         if self.checkpoint_dir is not None:
@@ -233,11 +245,13 @@ class Trainer:
                 row.update({f"val_{k}": v for k, v in val.items()
                             if k != "count"})
                 metric = val[key]
-                lr = get_lr(state)
-                new_lr = sched.step(
-                    metric if self.metric_mode == "min" else -metric, lr)
-                if new_lr != lr:
-                    state = set_lr(state, new_lr)
+                if self.use_scheduler:
+                    lr = get_lr(state)
+                    sched_metric = (val["loss"] if self.sched_on == "loss"
+                                    else metric)
+                    new_lr = sched.step(sched_metric, lr)
+                    if new_lr != lr:
+                        state = set_lr(state, new_lr)
                 better = (metric > best_val if self.metric_mode == "max"
                           else metric < best_val)
                 if better:

@@ -20,10 +20,17 @@ class ReduceLROnPlateau:
     mode: str = "min"
     threshold: float = 1e-4
 
-    best: float = math.inf
+    best: float = None  # type: ignore[assignment]  # set per-mode below
     num_bad: int = 0
 
+    def __post_init__(self):
+        if self.best is None:
+            self.best = math.inf if self.mode == "min" else -math.inf
+
     def step(self, metric: float, lr: float) -> float:
+        # torch's rel threshold_mode: best*(1-thr) for min, best*(1+thr)
+        # for max; the per-mode init above makes the first metric always
+        # count as an improvement (torch _init_is_better semantics)
         improved = (metric < self.best * (1 - self.threshold)
                     if self.mode == "min"
                     else metric > self.best * (1 + self.threshold))

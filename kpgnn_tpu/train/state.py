@@ -32,10 +32,6 @@ class TrainState:
 def make_optimizer(lr: float, l2_wd: float = 0.0) -> optax.GradientTransformation:
     """Adam with optional decoupled weight decay, lr exposed as a mutable
     hyperparameter (torch optim.Adam equivalent)."""
-    if l2_wd > 0:
-        opt = optax.adamw(learning_rate=lr, weight_decay=l2_wd)
-    else:
-        opt = optax.adam(learning_rate=lr)
     return optax.inject_hyperparams(
         lambda learning_rate: optax.adamw(learning_rate, weight_decay=l2_wd)
         if l2_wd > 0 else optax.adam(learning_rate)

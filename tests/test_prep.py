@@ -132,6 +132,22 @@ def test_bfs_apsp_matches_networkx():
                     assert dist[u, v] == exp, (u, v, cap)
 
 
+def test_bfs_apsp_dense_no_overflow():
+    """Regression: int8 walk-count matmul wrapped past 127 walks on dense
+    graphs and returned dist 0 for reachable pairs (advice r1)."""
+    rng = np.random.default_rng(7)
+    n = 200
+    A = (rng.random((n, n)) < 0.6)
+    A = (A | A.T) & ~np.eye(n, dtype=bool)
+    dist = bfs_apsp(A, 4)
+    G = nx.from_numpy_array(A.astype(int))
+    for u in (0, 50, 199):
+        lengths = nx.single_source_shortest_path_length(G, u, cutoff=4)
+        for v in range(n):
+            exp = 0 if v == u else lengths.get(v, 0)
+            assert dist[u, v] == exp, (u, v)
+
+
 def test_peripheral_attrs_oracle():
     cfg = KHopConfig(
         K=2, kernel="spd", max_edge_attr_num=10,

@@ -120,6 +120,43 @@ def test_plateau_scheduler():
     assert lr == 0.5
 
 
+def test_plateau_scheduler_max_mode():
+    """LR must hold while accuracy improves and decay only after
+    `patience` stagnant epochs (regression: max mode used to decay
+    unconditionally because best initialized to +inf)."""
+    s = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=0.0, mode="max")
+    lr = 1.0
+    for acc in (0.1, 0.3, 0.5, 0.7, 0.9):
+        lr = s.step(acc, lr)
+    assert lr == 1.0
+    lr = s.step(0.9, lr)
+    lr = s.step(0.9, lr)
+    assert lr == 1.0       # within patience
+    lr = s.step(0.9, lr)
+    assert lr == 0.5       # patience exceeded
+    lr = s.step(0.95, lr)  # improvement resets the counter
+    for _ in range(2):
+        lr = s.step(0.95, lr)
+    assert lr == 0.5
+
+
+def test_plateau_scheduler_matches_torch():
+    torch = pytest.importorskip("torch")
+    cases = [("min", [5.0, 4.0, 4.0, 4.0, 4.0, 3.0, 3.0, 3.0, 3.0, 3.0]),
+             ("max", [0.1, 0.5, 0.5, 0.5, 0.5, 0.9, 0.9, 0.9, 0.9, 0.9])]
+    for mode, metrics in cases:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        ts = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode=mode, factor=0.5, patience=2)
+        s = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=0.0, mode=mode)
+        lr = 1.0
+        for m in metrics:
+            ts.step(m)
+            lr = s.step(m, lr)
+            assert lr == pytest.approx(opt.param_groups[0]["lr"]), (mode, m)
+
+
 def test_set_lr_updates_jitted_step(dataset):
     model = make_model(model_cfg())
     loader = GraphLoader(dataset[:16], batch_size=8)
