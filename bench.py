@@ -2,15 +2,21 @@
 
 Measures steady-state fwd+bwd+update time for the ZINC headline config
 (KPGINPlus K=8 L=8 h=104, reference: README.md:127) on synthetic
-molecule-shaped batches, and reports REAL (non-padded) union edges
-processed per second per chip.  Every hop of every union edge is one
-message, so the aggregate work is edges * K messages — we report edge/s
-to match BASELINE.md's north-star metric.
+molecule-shaped batches, across ALL THREE adjacency backends (dense MXU,
+COO segment-sum, Pallas SpMM plan) on the same graphs, plus the bare
+device-resident Pallas khop_spmm kernel (BASELINE.md's north-star
+metric) and an MFU estimate against the chip's measured matmul peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is value / 2.0e6 edges/s — an order-of-magnitude estimate of
-the PyG reference's scatter-add throughput on one datacenter GPU (the
-reference repo publishes no numbers, BASELINE.md:3-7).
+Every hop of every union edge is one message, so aggregate work is
+edges * K messages — edges/s matches BASELINE.md's metric.
+
+Prints ONE JSON line.  The headline value is the fastest full-train-step
+backend; vs_baseline is measured against the XLA COO backend (the
+straightforward segment-sum formulation a direct JAX port would use) on
+identical batches — not an invented constant.
+
+All timed inputs are device-resident: feeding numpy in the loop would
+benchmark the host->device tunnel (~25 ms/MB), not the chip.
 """
 from __future__ import annotations
 
@@ -21,66 +27,175 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_EDGES_PER_S = 2.0e6
+K, L, HIDDEN, BATCH = 8, 8, 104, 64
+N_SLOT = 40          # dense mode slot size (ZINC graphs are <= 37 nodes)
+ITERS = 100
 
 
-def main():
+def _model_and_graphs():
     from kpgnn_tpu.data.synthetic import synthetic_molecules
-    from kpgnn_tpu.graph.batch import collate_dense
     from kpgnn_tpu.models import ModelConfig, make_model
     from kpgnn_tpu.prep import KHopConfig
-    from kpgnn_tpu.train import create_train_state, make_train_step
 
-    K, L, hidden, batch_size = 8, 8, 104, 64
     kcfg = KHopConfig(K=K, kernel="spd", max_edge_attr_num=30,
                       max_hop_num=6, max_edge_type=3, max_edge_count=20,
                       max_distance_count=30)
-    graphs = synthetic_molecules(4 * batch_size, kcfg, seed=0)
+    graphs = synthetic_molecules(4 * BATCH, kcfg, seed=0)
     mcfg = ModelConfig(
-        model_name="KPGINPlus", hidden_size=hidden, num_layer=L, K=K,
+        model_name="KPGINPlus", hidden_size=HIDDEN, num_layer=L, K=K,
         num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
         max_edge_count=20, max_hop_num=6, max_distance_count=30,
         JK="concat", combine="attention", residual=True,
         input_encoder=("embedding", 21),
         task="graph_regression", pooling_method="sum")
-    model = make_model(mcfg)
+    return make_model(mcfg), mcfg, graphs
 
-    # dense MXU backend: one fixed (B, K, n_slot, n_slot) shape
-    n_slot = 40
-    batches = [collate_dense(graphs[i:i + batch_size], n_slot=n_slot,
-                             v1=3 + 2, vk=30 + 2, g_pad=batch_size)
-               for i in range(0, len(graphs), batch_size)]
-    real_edges = [int((np.asarray(b.adj.hop_attr) > 0).any(1).sum())
-                  for b in batches]
+
+def _collate_all(graphs, mcfg):
+    """Same graphs through every backend's collate."""
+    from kpgnn_tpu.graph.batch import collate, collate_dense, collate_pallas
+
+    v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+    chunks = [graphs[i:i + BATCH] for i in range(0, len(graphs), BATCH)]
+    out = {
+        "dense": [collate_dense(c, n_slot=N_SLOT, v1=v1, vk=vk,
+                                g_pad=BATCH) for c in chunks],
+        "coo": [collate(c) for c in chunks],
+        "pallas": [collate_pallas(c, v1=v1, vk=vk) for c in chunks],
+    }
+    edges = [int((np.asarray(b.adj.hop_attr) > 0).any(1).sum())
+             for b in out["dense"]]
+    return out, edges
+
+
+def _time_step(step, state, batches, rng, edges):
+    """Best-of-3 steady-state edges/s."""
+    for b in batches:                       # compile + warmup
+        state, m = step(state, b, rng)
+    jax.block_until_ready(m["loss_sum"])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tot = 0
+        for i in range(ITERS):
+            b = batches[i % len(batches)]
+            state, m = step(state, b, rng)
+            tot += edges[i % len(batches)]
+        jax.block_until_ready(m["loss_sum"])
+        dt = time.perf_counter() - t0
+        best = max(best, tot / dt)
+    return best
+
+
+def _bench_backend(model, batches, edges):
+    from kpgnn_tpu.train import create_train_state, make_train_step
 
     state, tx = create_train_state(model, batches[0], jax.random.PRNGKey(0),
                                    1e-3)
     step = make_train_step(model, tx, loss="l1", donate=True)
+    return _time_step(step, state, batches, jax.random.PRNGKey(1), edges)
 
-    rng = jax.random.PRNGKey(1)
-    # warmup / compile (touch every batch once)
-    for b in batches:
-        state, m = step(state, b, rng)
-    jax.block_until_ready(m["loss_sum"])
 
-    # the remote-dispatch link is noisy: take the best of three rounds
-    iters = 100
-    eps = 0.0
+def _bench_pallas_spmm(graphs, mcfg):
+    """Bare kernel: device-resident khop_spmm fwd, union edges/s."""
+    from kpgnn_tpu.graph.batch import collate, collate_pallas
+    from kpgnn_tpu.ops.pallas_spmm import khop_spmm
+
+    v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+    b = collate_pallas(graphs[:BATCH], v1=v1, vk=vk)
+    union_edges = int(np.asarray(
+        collate(graphs[:BATCH]).adj.edge_mask).sum())
+    plan = b.adj
+    n = b.x.shape[0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, K, HIDDEN)).astype(np.float32))
+    t1 = jnp.asarray(rng.normal(size=(v1, HIDDEN)).astype(np.float32))
+    tk = jnp.asarray(rng.normal(size=(vk, HIDDEN)).astype(np.float32))
+    fn = jax.jit(lambda x: khop_spmm(x, t1, tk, plan))
+    out = fn(x)
+    jax.block_until_ready(out)
+    best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        edges = 0
-        for i in range(iters):
-            b = batches[i % len(batches)]
-            state, m = step(state, b, rng)
-            edges += real_edges[i % len(batches)]
-        jax.block_until_ready(m["loss_sum"])
-        dt = time.perf_counter() - t0
-        eps = max(eps, edges / dt)
+        for _ in range(ITERS):
+            out = fn(x)
+        jax.block_until_ready(out)
+        best = max(best, ITERS * union_edges / (time.perf_counter() - t0))
+    return best
+
+
+def _measured_matmul_peak():
+    """Achievable bf16 matmul FLOP/s on this chip (roofline ceiling)."""
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    jax.block_until_ready(f(a))
+    reps = 20
+    t0 = time.perf_counter()
+    r = a
+    for _ in range(reps):
+        r = f(r)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return reps * 2 * n ** 3 / dt
+
+
+def _step_flops(model, batch):
+    """XLA's own FLOP count for one fwd+bwd+update step."""
+    from kpgnn_tpu.train import create_train_state, make_train_step
+
+    state, tx = create_train_state(model, batch, jax.random.PRNGKey(0),
+                                   1e-3)
+    step = make_train_step(model, tx, loss="l1", donate=False)
+    try:
+        lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(1))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    model, mcfg, graphs = _model_and_graphs()
+    batched, edges = _collate_all(graphs, mcfg)
+
+    backends = {}
+    for name in ("dense", "coo", "pallas"):
+        try:
+            backends[name] = round(_bench_backend(model, batched[name],
+                                                  edges), 1)
+        except Exception as e:          # a backend must never sink the bench
+            backends[name] = f"error: {type(e).__name__}: {e}"[:120]
+
+    numeric = {k: v for k, v in backends.items() if isinstance(v, float)}
+    headline_name = max(numeric, key=numeric.get)
+    headline = numeric[headline_name]
+    coo = numeric.get("coo", 0.0)
+
+    spmm = 0.0
+    try:
+        spmm = round(_bench_pallas_spmm(graphs, mcfg), 1)
+    except Exception:
+        pass
+
+    peak = _measured_matmul_peak()
+    flops = _step_flops(model, batched[headline_name][0])
+    steps_per_s = headline / max(np.mean(edges), 1.0)
+    mfu = (flops * steps_per_s / peak) if (flops and peak) else 0.0
+
     print(json.dumps({
         "metric": "khop_train_edges_per_s_per_chip",
-        "value": round(eps, 1),
+        "value": headline,
         "unit": "edges/s",
-        "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 3),
+        "vs_baseline": round(headline / coo, 3) if coo else None,
+        "baseline": "measured XLA-COO backend on identical batches",
+        "backends": backends,
+        "pallas_spmm_fwd_edges_per_s": spmm,
+        "measured_matmul_peak_flops": round(peak, 1),
+        "train_step_flops": round(flops, 1),
+        "mfu_vs_measured_peak": round(mfu, 5),
     }))
 
 

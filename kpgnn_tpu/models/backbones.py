@@ -23,6 +23,7 @@ from flax import linen as nn
 from ..graph.batch import GraphBatch
 from ..ops.lstm import BiLSTM
 from ..ops.segment import segment_sum
+from ..ops.sharded_adjacency import node_axis
 from .. import nn as knn
 from ..nn.basic import MLP, TorchLinear
 from ..nn.encoders import FeatureConcatEncoder
@@ -50,22 +51,27 @@ def _dropout(module: nn.Module, x, rate: float, train: bool):
 def _apply_norm(norm_type: str, name: str, parent, x, batch: GraphBatch,
                 train: bool):
     """Instantiate-and-apply one per-layer norm with the right masking
-    inputs (reference switch: models/GNNs.py:103-114)."""
+    inputs (reference switch: models/GNNs.py:103-114).  When the node
+    axis is sharded, the norm's statistics psum over that axis so they
+    equal the single-device ones."""
     gid, g = batch.node_graph_ids, batch.g_pad
+    ax = node_axis(batch)
     if norm_type == "Batch":
         return MaskedBatchNorm(name=name, parent=parent)(
-            x, mask=batch.node_mask, use_running_average=not train)
+            x, mask=batch.node_mask, use_running_average=not train,
+            axis_name=ax)
     if norm_type == "Layer":
         return MaskedGraphLayerNorm(name=name, parent=parent)(
-            x, gid, g, mask=batch.node_mask)
+            x, gid, g, mask=batch.node_mask, axis_name=ax)
     if norm_type == "Instance":
         return MaskedInstanceNorm(name=name, parent=parent)(
-            x, gid, g, mask=batch.node_mask)
+            x, gid, g, mask=batch.node_mask, axis_name=ax)
     if norm_type == "GraphSize":
         return GraphSizeNorm(name=name, parent=parent)(
-            x, gid, g, mask=batch.node_mask)
+            x, gid, g, mask=batch.node_mask, axis_name=ax)
     if norm_type == "Pair":
-        return PairNorm(name=name, parent=parent)(x, mask=batch.node_mask)
+        return PairNorm(name=name, parent=parent)(
+            x, mask=batch.node_mask, axis_name=ax)
     raise ValueError("Not supported norm method")
 
 
@@ -137,6 +143,9 @@ class _VirtualNode(nn.Module):
         pooled = segment_sum(
             h_prev * batch.node_mask[:, None].astype(h_prev.dtype),
             batch.node_graph_ids, batch.g_pad).astype(jnp.float32)
+        ax = node_axis(batch)
+        if ax is not None:
+            pooled = jax.lax.psum(pooled, ax)
         tmp = pooled + vn
         out = self.mlps[layer](tmp, mask=batch.graph_mask, train=train)
         out = _dropout(self, out, drop_prob, train)

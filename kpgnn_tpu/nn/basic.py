@@ -40,7 +40,7 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False, axis_name: Optional[str] = None):
         from .norms import MaskedBatchNorm
 
         n = len(self.features)
@@ -49,7 +49,8 @@ class MLP(nn.Module):
             last = i == n - 1
             if self.use_batchnorm:
                 x = MaskedBatchNorm(name=f"bn{i}")(
-                    x, mask=mask, use_running_average=not train)
+                    x, mask=mask, use_running_average=not train,
+                    axis_name=axis_name)
             if not last or self.final_activation:
                 x = self.activation(x)
         return x

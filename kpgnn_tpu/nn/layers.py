@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.sharded_adjacency import node_axis
 from ..ops.adjacency import (
     Adjacency,
     degree,
@@ -239,7 +240,7 @@ class KPGINPlusConv(nn.Module):
             x_n = x_n + peripheral_attr
         h = make_combine(self.combine, K, H)(x_n) if K > 1 else x_n[:, 0]
         h = MLP([H, H], use_batchnorm=True, name="mlp")(
-            h, mask=node_mask, train=train)
+            h, mask=node_mask, train=train, axis_name=node_axis(adj))
         return h
 
 
@@ -268,7 +269,8 @@ class GINEConv(nn.Module):
             eps = self.eps_init
         out = out + (1.0 + eps) * x
         return MLP([H, H], use_batchnorm=True, name="mlp")(
-            out[:, 0], mask=node_mask, train=train)
+            out[:, 0], mask=node_mask, train=train,
+            axis_name=node_axis(adj))
 
 
 GNNLayerSpec = Union[nn.Module, List[nn.Module]]

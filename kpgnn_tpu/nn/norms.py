@@ -7,6 +7,12 @@ computed under `node_mask` / per-graph segment sums, never over padding.
 Implemented set mirrors the reference's norm switch
 (reference: models/GNNs.py:103-114): Batch, Layer (PyG graph mode),
 Instance, GraphSize, Pair.
+
+Every norm takes an optional `axis_name`: when the node axis is sharded
+over a device mesh (ops/sharded_adjacency.py), the masked sums /
+per-graph segment sums are local partials and a psum over that axis
+completes them — statistics stay exactly equal to the single-device
+ones (graph slots are global, so per-graph partial tables just add).
 """
 from __future__ import annotations
 
@@ -15,6 +21,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _preduce(v, axis_name: Optional[str]):
+    """Complete a local partial sum across the node-sharding axis."""
+    return jax.lax.psum(v, axis_name) if axis_name else v
 
 
 def _masked_moments(x, mask, axis):
@@ -41,7 +52,8 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True,
+                 axis_name: Optional[str] = None):
         in_dtype = x.dtype
         x = x.astype(jnp.float32)
         features = x.shape[-1]
@@ -58,9 +70,12 @@ class MaskedBatchNorm(nn.Module):
             m = mask.astype(x.dtype)
             flat_x = x.reshape(-1, features)
             flat_m = m.reshape(-1)
-            cnt = jnp.maximum(flat_m.sum(), 1.0)
-            mean = (flat_x * flat_m[:, None]).sum(0) / cnt
-            var = (((flat_x - mean) ** 2) * flat_m[:, None]).sum(0) / cnt
+            cnt = jnp.maximum(
+                _preduce(flat_m.sum(), axis_name), 1.0)
+            mean = _preduce((flat_x * flat_m[:, None]).sum(0),
+                            axis_name) / cnt
+            var = _preduce((((flat_x - mean) ** 2) * flat_m[:, None]).sum(0),
+                           axis_name) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -82,25 +97,26 @@ class MaskedGraphLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None,
+                 axis_name: Optional[str] = None):
         in_dtype = x.dtype
         x = x.astype(jnp.float32)
         features = x.shape[-1]
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
         m = mask.astype(x.dtype)[:, None]
-        cnt = jax.ops.segment_sum(
+        cnt = _preduce(jax.ops.segment_sum(
             jnp.full(x.shape[:1], float(features)) * m[:, 0], graph_ids,
-            num_segments=num_graphs, indices_are_sorted=True)
+            num_segments=num_graphs, indices_are_sorted=True), axis_name)
         cnt = jnp.maximum(cnt, 1.0)
-        s = jax.ops.segment_sum(
+        s = _preduce(jax.ops.segment_sum(
             (x * m).sum(-1), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True)
+            indices_are_sorted=True), axis_name)
         mean = (s / cnt)[graph_ids][:, None]
         xc = (x - mean) * m
-        sq = jax.ops.segment_sum(
+        sq = _preduce(jax.ops.segment_sum(
             (xc ** 2).sum(-1), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True)
+            indices_are_sorted=True), axis_name)
         var = (sq / cnt)[graph_ids][:, None]
         y = xc * jax.lax.rsqrt(var + self.eps)
         y = y * self.param("scale", nn.initializers.ones, (features,))
@@ -116,23 +132,25 @@ class MaskedInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None,
+                 axis_name: Optional[str] = None):
         in_dtype = x.dtype
         x = x.astype(jnp.float32)
         features = x.shape[-1]
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
         m = mask.astype(x.dtype)[:, None]
-        cnt = jax.ops.segment_sum(
-            m, graph_ids, num_segments=num_graphs, indices_are_sorted=True)
+        cnt = _preduce(jax.ops.segment_sum(
+            m, graph_ids, num_segments=num_graphs,
+            indices_are_sorted=True), axis_name)
         cnt = jnp.maximum(cnt, 1.0)
-        mean = jax.ops.segment_sum(
+        mean = _preduce(jax.ops.segment_sum(
             x * m, graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True) / cnt
+            indices_are_sorted=True), axis_name) / cnt
         xc = (x - mean[graph_ids]) * m
-        var = jax.ops.segment_sum(
+        var = _preduce(jax.ops.segment_sum(
             xc ** 2, graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True) / cnt
+            indices_are_sorted=True), axis_name) / cnt
         y = xc * jax.lax.rsqrt(var[graph_ids] + self.eps)
         if self.affine:
             y = y * self.param("scale", nn.initializers.ones, (features,))
@@ -145,12 +163,13 @@ class GraphSizeNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None,
+                 axis_name: Optional[str] = None):
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
-        cnt = jax.ops.segment_sum(
+        cnt = _preduce(jax.ops.segment_sum(
             mask.astype(x.dtype), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True)
+            indices_are_sorted=True), axis_name)
         inv = jax.lax.rsqrt(jnp.maximum(cnt, 1.0))
         return x * inv[graph_ids][:, None]
 
@@ -163,14 +182,15 @@ class PairNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 axis_name: Optional[str] = None):
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
         m = mask.astype(x.dtype)[:, None]
-        cnt = jnp.maximum(m.sum(), 1.0)
-        mean = (x * m).sum(0) / cnt
+        cnt = jnp.maximum(_preduce(m.sum(), axis_name), 1.0)
+        mean = _preduce((x * m).sum(0), axis_name) / cnt
         xc = (x - mean) * m
-        mean_sq = (xc ** 2).sum() / cnt
+        mean_sq = _preduce((xc ** 2).sum(), axis_name) / cnt
         return self.scale * xc * jax.lax.rsqrt(mean_sq + self.eps)
 
 

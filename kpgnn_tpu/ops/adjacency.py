@@ -83,6 +83,10 @@ def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
 
 def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
     """(N, K) per-hop in-degree over live hop entries."""
+    from .sharded_adjacency import ShardedCOOAdj, sharded_degree
+
+    if isinstance(adj, ShardedCOOAdj):
+        return sharded_degree(adj, add_self_loop)
     if not isinstance(adj, (COOAdj, DenseAdj)):
         raise ValueError("degree() needs the COO or dense backend "
                          "(the pallas plan drops per-edge hop masks)")
@@ -103,6 +107,10 @@ def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
 def union_in_degree(adj: Adjacency) -> jnp.ndarray:
     """(N,) count of union edges into each node (the reference's PyG mean
     denominator counts every union edge regardless of hop mask)."""
+    from .sharded_adjacency import ShardedCOOAdj, sharded_union_in_degree
+
+    if isinstance(adj, ShardedCOOAdj):
+        return sharded_union_in_degree(adj)
     if isinstance(adj, COOAdj):
         return jax.ops.segment_sum(
             adj.edge_mask.astype(jnp.float32), adj.receivers,
@@ -128,7 +136,14 @@ def khop_aggregate_adj(
     the COO path.
     """
     from .pallas_spmm import KHopPallasPlan, khop_spmm
+    from .sharded_adjacency import ShardedCOOAdj, sharded_khop_aggregate
 
+    if isinstance(adj, ShardedCOOAdj):
+        t1 = _zero_row0(table1).astype(x.dtype)
+        tk = (_zero_row0(tablek).astype(x.dtype)
+              if tablek is not None else None)
+        return sharded_khop_aggregate(adj, x, t1, tk, scale=scale,
+                                      sender_scale=sender_scale, aggr=aggr)
     if isinstance(adj, KHopPallasPlan):
         if scale is not None or sender_scale is not None or aggr != "add":
             raise ValueError(

@@ -98,6 +98,7 @@ def khop_aggregate(
     scale: Optional[jnp.ndarray] = None,   # (E, K) e.g. GCN norm
     aggr: str = "add",
     edge_mask: Optional[jnp.ndarray] = None,  # (E,) for mean denominators
+    num_segments: Optional[int] = None,   # output rows (default: x rows)
 ) -> jnp.ndarray:
     """out[i, k] = aggr over edges e with receivers[e] == i of
     mask[e, k] * scale[e, k] * (x[senders[e], k] + edge_emb[e, k]).
@@ -106,13 +107,17 @@ def khop_aggregate(
     sum; for `mean` the denominator counts union edges per receiver (the
     reference's PyG mean divides by all union-set in-edges regardless of
     hop mask), excluding padding via `edge_mask`.
+
+    `num_segments` decouples the output row count from the node-state
+    table: the sharded backend scatters into the locally-owned node range
+    while gathering from an extended [local | halo] table.
     """
     msg = x[senders] + edge_emb                       # (E, K, D)
     live = (edge_attr > 0)[..., None]
     if scale is not None:
         msg = msg * scale[..., None]
     msg = jnp.where(live, msg, 0.0)
-    n = x.shape[0]
+    n = x.shape[0] if num_segments is None else num_segments
     if aggr == "add":
         return jax.ops.segment_sum(
             msg, receivers, num_segments=n, indices_are_sorted=True)

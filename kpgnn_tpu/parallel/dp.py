@@ -29,18 +29,40 @@ def stack_batches(batches: List[GraphBatch]) -> GraphBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
+def mask_empty_batch(b: GraphBatch) -> GraphBatch:
+    """Same-shape batch with every node/graph slot masked out: it
+    contributes zero to losses, metrics and (count-weighted) BN stats, so
+    it can pad a trailing partial super-batch without skewing anything."""
+    return b.replace(node_mask=jnp.zeros_like(b.node_mask),
+                     graph_mask=jnp.zeros_like(b.graph_mask))
+
+
 def shard_loader(loader: Iterable[GraphBatch], n_shards: int
                  ) -> Iterator[GraphBatch]:
-    """Group a batch stream into stacked super-batches of n_shards."""
+    """Group a batch stream into stacked super-batches of n_shards; a
+    trailing partial group is padded with masked-empty batches (not
+    dropped), so every graph in the stream is seen every epoch."""
     buf: List[GraphBatch] = []
     for b in loader:
         buf.append(b)
         if len(buf) == n_shards:
             yield stack_batches(buf)
             buf = []
-    # trailing partial super-batch is dropped: every shard must have a
-    # batch of identical shape (masked-empty batches would still be valid,
-    # callers can pad the stream if they need exact coverage)
+    if buf:
+        pad = mask_empty_batch(buf[-1])
+        buf.extend([pad] * (n_shards - len(buf)))
+        yield stack_batches(buf)
+
+
+class ShardStream:
+    """Re-iterable view of a loader grouped into n_shards super-batches
+    (what Trainer hands to evaluate() every epoch)."""
+
+    def __init__(self, loader, n_shards: int):
+        self.loader, self.n_shards = loader, n_shards
+
+    def __iter__(self):
+        return shard_loader(self.loader, self.n_shards)
 
 
 def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
@@ -78,8 +100,14 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
         new_bs = state.batch_stats
         if new_bs is not None and updates:
             # cross-replica mean of the updated running stats, matching a
-            # single-device pass over the union batch up to momentum order
-            new_bs = jax.lax.pmean(updates["batch_stats"], axis)
+            # single-device pass over the union batch up to momentum order;
+            # weighted by liveness so masked-empty padding batches (the
+            # trailing-group fill from shard_loader) don't dilute them
+            live = (cnt > 0).astype(jnp.float32)
+            n_live = jnp.maximum(jax.lax.psum(live, axis), 1.0)
+            new_bs = jax.tree.map(
+                lambda u: jax.lax.psum(u * live, axis) / n_live,
+                updates["batch_stats"])
         updates_tx, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates_tx)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
@@ -100,3 +128,43 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
         check_vma=False,
     )
     return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
+                            node_level: bool = False, metric: str = "same",
+                            bn_train_mode: bool = False, axis: str = "data"):
+    """Data-parallel eval: each device evaluates its batch of the stacked
+    super-batch, per-batch sums psum over the axis — the same keys as
+    train.loop.make_eval_step, so evaluate() aggregates identically."""
+    def per_device(state: TrainState, batch: GraphBatch):
+        batch = jax.tree.map(lambda a: a[0], batch)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        if bn_train_mode:
+            pred = model.apply(variables, batch, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(0)},
+                               mutable=["batch_stats"])[0]
+        else:
+            pred = model.apply(variables, batch, train=False)
+        mask = _batch_target_mask(batch, node_level)
+        lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
+        out = {"loss_sum": lsum, "count": cnt}
+        which = loss if metric == "same" else metric
+        if which == "accuracy" or loss == "cross_entropy":
+            y = batch.y.astype(jnp.int32)
+            out["correct"] = jnp.sum(
+                (jnp.argmax(pred, -1) == y) & mask)
+        if which in ("mae", "l1") and loss not in ("l1",):
+            out["mae_sum"] = _masked_loss(pred, batch.y, mask, "l1")[0]
+        if which in ("mse",) and loss not in ("mse",):
+            out["mse_sum"] = _masked_loss(pred, batch.y, mask, "mse")[0]
+        return jax.tree.map(lambda v: jax.lax.psum(v, axis), out)
+
+    smapped = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

@@ -1,0 +1,276 @@
+"""Node/edge-partitioned ("graph parallel") training over a device mesh.
+
+The batched union-graph is partitioned by node range: each device owns a
+contiguous slice of node slots, the contiguous span of receiver-sorted
+edges pointing into it, and the output rows it produces.  Per layer, the
+only communication is a single all_to_all of *boundary* node rows (the
+halo plan built here; device math in ops/sharded_adjacency.py) plus
+O(G·D)/O(D) psums for per-graph statistics — never a full (N, K, D)
+collective, so the wire cost scales with the partition quality instead
+of the model size.
+
+The whole training step runs inside one `jax.shard_map` (check_vma on):
+parameters replicated, node-dimension arrays sharded, per-graph arrays
+replicated.  Gradients come out replicated automatically through the
+psum/all_to_all transposes — there is no hand-written gradient exchange
+to get wrong.
+
+This is the SURVEY §2.7(b) component; the reference's nearest analog is
+its DataParallel call (reference: train_ZINC.py:90-92), which cannot
+split a single large graph at all.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph.batch import GraphBatch
+from ..ops.adjacency import COOAdj
+from ..ops.sharded_adjacency import ShardedCOOAdj
+from ..train.state import TrainState
+from ..train.loop import _batch_target_mask, _masked_loss
+
+shard_map = jax.shard_map
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def partition_adj(adj: COOAdj, n_shards: int,
+                  axis: str = "node") -> ShardedCOOAdj:
+    """Host-side partition plan: COOAdj -> ShardedCOOAdj.
+
+    Node slots split into `n_shards` equal contiguous ranges; the
+    receiver-sorted edge list splits into the matching spans (padded to a
+    common length with masked edges); for every shard pair the boundary
+    senders are deduplicated into the all_to_all send plan and the edge
+    senders are remapped into the [local | halo] extended table.
+
+    Batches collated graph-blocked (dense slotting or single large
+    graphs) whose graphs align with shard boundaries get an all-zero
+    boundary — the halo exchange then carries only padding.
+    """
+    if not isinstance(adj, COOAdj):
+        raise ValueError("partition_adj needs the COO backend")
+    n_pad = adj.n_nodes
+    if n_pad % n_shards:
+        raise ValueError(f"n_nodes={n_pad} not divisible by {n_shards} "
+                         "(collate with node_multiple >= n_shards)")
+    n_local = n_pad // n_shards
+    senders = np.asarray(adj.senders)
+    receivers = np.asarray(adj.receivers)
+    attr = np.asarray(adj.edge_attr)
+    emask = np.asarray(adj.edge_mask)
+    K = attr.shape[1]
+
+    # masked (padding) edges contribute nothing — point their senders at
+    # the receiving shard so they never generate halo traffic
+    senders = np.where(emask, senders, receivers)
+
+    bounds = np.arange(n_shards + 1) * n_local
+    spans = np.searchsorted(receivers, bounds)
+    e_shard = max(8, _round_up(int(np.max(np.diff(spans))), 8))
+
+    # per-(receiver-shard i, owner j) unique boundary senders
+    uniq = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
+    for i in range(n_shards):
+        s = senders[spans[i]:spans[i + 1]]
+        owner = s // n_local
+        for j in range(n_shards):
+            if j != i:
+                uniq[i][j] = np.unique(s[owner == j])
+    halo = max(1, max((len(u) for row in uniq for u in row), default=1))
+
+    S = np.zeros((n_shards, e_shard), np.int32)
+    R = np.zeros((n_shards, e_shard), np.int32)
+    A = np.zeros((n_shards, e_shard, K), np.int32)
+    M = np.zeros((n_shards, e_shard), bool)
+    send_rows = np.zeros((n_shards, n_shards, halo), np.int32)
+    boundary = []
+    for i in range(n_shards):
+        lo, hi = spans[i], spans[i + 1]
+        e = hi - lo
+        s = senders[lo:hi].astype(np.int64)
+        owner = s // n_local
+        s_new = s - i * n_local          # local by default
+        for j in range(n_shards):
+            u = uniq[i][j]
+            boundary.append(len(u))
+            if j == i or not len(u):
+                continue
+            send_rows[j, i, :len(u)] = u - j * n_local
+            sel = owner == j
+            s_new[sel] = n_local + j * halo + np.searchsorted(u, s[sel])
+        S[i, :e] = s_new
+        R[i, :e] = receivers[lo:hi] - i * n_local
+        A[i, :e] = attr[lo:hi]
+        M[i, :e] = emask[lo:hi]
+
+    return ShardedCOOAdj(
+        senders=jnp.asarray(S), receivers=jnp.asarray(R),
+        edge_attr=jnp.asarray(A), edge_mask=jnp.asarray(M),
+        send_rows=jnp.asarray(send_rows),
+        n_local=n_local, n_shards=n_shards, axis=axis,
+        boundary=tuple(boundary))
+
+
+def partition_batch(batch: GraphBatch, n_shards: int,
+                    axis: str = "node") -> GraphBatch:
+    """Partition a collated batch for the node-sharded training path."""
+    return batch.replace(adj=partition_adj(batch.adj, n_shards, axis))
+
+
+def batch_pspecs(batch: GraphBatch, axis: str = "node",
+                 node_level: bool = False) -> GraphBatch:
+    """PartitionSpec tree matching a partitioned GraphBatch: node-dim
+    arrays and edge shards split over `axis`, per-graph arrays
+    replicated."""
+    node, rep = P(axis), P()
+
+    def ns(v):
+        return node if v is not None else None
+
+    adj = batch.adj.replace(
+        senders=node, receivers=node, edge_attr=node, edge_mask=node,
+        send_rows=node)
+    return batch.replace(
+        x=node, node_mask=node, node_graph_ids=node,
+        pe_attr=ns(batch.pe_attr),
+        peripheral_edge_attr=ns(batch.peripheral_edge_attr),
+        peripheral_config_attr=ns(batch.peripheral_config_attr),
+        rd=ns(batch.rd), z=ns(batch.z), pos=ns(batch.pos),
+        adj=adj,
+        y=(None if batch.y is None else (node if node_level else rep)),
+        graph_mask=rep)
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh, loss: str = "l1",
+                            node_level: bool = False, axis: str = "node",
+                            donate: bool = True):
+    """Jitted (state, partitioned batch, rng) -> (state, metrics) where
+    the forward/backward runs node-sharded over `axis`.
+
+    Gradient correctness needs no manual psum: the pooling / norm psums
+    inside the forward transpose to the right broadcasts and sums under
+    shard_map's vma tracking, so params and metrics come out replicated.
+    """
+
+    def per_device(state: TrainState, batch: GraphBatch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            if mutable:
+                pred, updates = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng}, mutable=mutable)
+            else:
+                pred, updates = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng}), {}
+            mask = _batch_target_mask(batch, node_level)
+            lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
+            if node_level:       # graph-level preds are already replicated
+                lsum = jax.lax.psum(lsum, axis)
+                cnt = jax.lax.psum(cnt, axis)
+            return lsum / jnp.maximum(cnt, 1.0), (updates, lsum, cnt)
+
+        (_, (updates, lsum, cnt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        up, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, up)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss_sum": lsum, "count": cnt}
+
+    def step(state, batch, rng):
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), batch_pspecs(batch, axis, node_level), P()),
+            out_specs=(P(), P()))
+        return fn(state, batch, rng)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_step(model, mesh: Mesh, loss: str = "l1",
+                           node_level: bool = False, metric: str = "same",
+                           axis: str = "node", bn_train_mode: bool = False):
+    """Per-batch metric sums (same keys as train.loop.make_eval_step),
+    computed node-sharded; node-level sums psum over the axis, graph-level
+    ones are replicated already."""
+
+    def per_device(state: TrainState, batch: GraphBatch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        if bn_train_mode:
+            pred = model.apply(variables, batch, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(0)},
+                               mutable=["batch_stats"])[0]
+        else:
+            pred = model.apply(variables, batch, train=False)
+        mask = _batch_target_mask(batch, node_level)
+
+        def done(v):
+            return jax.lax.psum(v, axis) if node_level else v
+
+        lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
+        out = {"loss_sum": done(lsum), "count": done(cnt)}
+        which = loss if metric == "same" else metric
+        if which == "accuracy" or loss == "cross_entropy":
+            y = batch.y.astype(jnp.int32)
+            correct = (jnp.argmax(pred, -1) == y) & mask
+            out["correct"] = done(jnp.sum(correct))
+        if which in ("mae", "l1") and loss not in ("l1",):
+            msum, _ = _masked_loss(pred, batch.y, mask, "l1")
+            out["mae_sum"] = done(msum)
+        if which in ("mse",) and loss not in ("mse",):
+            msum, _ = _masked_loss(pred, batch.y, mask, "mse")
+            out["mse_sum"] = done(msum)
+        return out
+
+    def step(state, batch):
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), batch_pspecs(batch, axis, node_level)),
+            out_specs=P())
+        return fn(state, batch)
+
+    return jax.jit(step)
+
+
+def partition_loader(loader, n_shards: int, axis: str = "node"):
+    """Wrap a GraphLoader stream, partitioning every batch."""
+    for b in loader:
+        yield partition_batch(b, n_shards, axis)
+
+
+class PartitionedLoader:
+    """Re-iterable node-partitioned view of a loader (what Trainer hands
+    to evaluate() every epoch).  Deterministic loaders are partitioned
+    once and replayed; shuffled ones re-partition each epoch."""
+
+    def __init__(self, loader, n_shards: int, axis: str = "node"):
+        self.loader, self.n_shards, self.axis = loader, n_shards, axis
+        self._cache = None
+
+    def __iter__(self):
+        if getattr(self.loader, "shuffle", True):
+            return partition_loader(self.loader, self.n_shards, self.axis)
+        if self._cache is None:
+            self._cache = list(
+                partition_loader(self.loader, self.n_shards, self.axis))
+        return iter(self._cache)

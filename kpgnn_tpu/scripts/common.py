@@ -89,8 +89,13 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
                         "families)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
-    p.add_argument("--parallel", action="store_true",
-                   help="data-parallel over all visible devices")
+    p.add_argument("--parallel", nargs="?", const="data", default=None,
+                   choices=("data", "node"),
+                   help="parallelism over all visible devices: 'data' "
+                        "(default when the flag is bare) = one batch per "
+                        "device with gradient psum; 'node' = every batch "
+                        "node-sharded over the mesh with halo exchange "
+                        "(for graphs too large for one chip)")
     return p
 
 
@@ -187,10 +192,21 @@ def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
 
 
 def maybe_mesh(args):
-    """--parallel: data-parallel mesh over all visible devices."""
-    if not getattr(args, "parallel", False):
+    """--parallel [data|node]: mesh over all visible devices, axis named
+    after the mode so sharded collectives resolve against it."""
+    mode = getattr(args, "parallel", None)
+    if not mode:
         return None
     import jax
 
     from ..parallel import make_mesh
-    return make_mesh(len(jax.devices()))
+    return make_mesh(len(jax.devices()),
+                     axis_names=("node" if mode == "node" else "data",))
+
+
+def parallel_kwargs(args):
+    """Trainer kwargs for the chosen --parallel mode (empty mesh = off)."""
+    mode = getattr(args, "parallel", None)
+    if not mode:
+        return {}
+    return {"mesh": maybe_mesh(args), "parallel_mode": mode}

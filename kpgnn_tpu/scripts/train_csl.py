@@ -11,7 +11,8 @@ import jax
 from ..data import generate_csl
 from ..models import make_model
 from ..train import GraphLoader, Trainer, k_fold
-from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+from .common import (base_parser, loader_kwargs, model_config,
+                     parallel_kwargs,
                      prepare, setup_run, train_config)
 
 
@@ -46,7 +47,8 @@ def main(argv=None):
         # (reference: train_CSL.py:250-254; no scheduler in its loop)
         trainer = Trainer(model, train_config(args, "cross_entropy"),
                           loss="cross_entropy", metric_mode="max",
-                          use_scheduler=False, logger=logger)
+                          use_scheduler=False, logger=logger,
+                          **parallel_kwargs(args))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + fold))
         acc = res["best_test"].get("accuracy", 0.0)

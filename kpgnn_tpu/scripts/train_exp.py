@@ -12,7 +12,8 @@ import jax
 from ..data import load_exp_pickle, load_exp_txt
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+from .common import (base_parser, loader_kwargs, model_config,
+                     parallel_kwargs,
                      prepare, setup_run, train_config)
 
 
@@ -64,7 +65,8 @@ def main(argv=None):
         # (reference: train_EXP.py:298-301; no scheduler in its loop)
         trainer = Trainer(model, train_config(args, "cross_entropy"),
                           loss="cross_entropy", metric_mode="min",
-                          use_scheduler=False, logger=logger)
+                          use_scheduler=False, logger=logger,
+                          **parallel_kwargs(args))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + fold))
         acc = res["best_test"].get("accuracy", 0.0)

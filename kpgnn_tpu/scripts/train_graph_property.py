@@ -13,7 +13,8 @@ import jax
 from ..data import generate_property_dataset
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+from .common import (base_parser, loader_kwargs, model_config,
+                     parallel_kwargs,
                      prepare, setup_run, train_config)
 
 
@@ -47,7 +48,8 @@ def main(argv=None):
         vl = GraphLoader(prepped["val"], args.batch_size, **lk)
         el = GraphLoader(prepped["test"], args.batch_size, **lk)
         trainer = Trainer(model, train_config(args, "mse"),
-                          loss="mse", metric_mode="min", logger=logger)
+                          loss="mse", metric_mode="min", logger=logger,
+                          **parallel_kwargs(args))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + run))
         mse = res["best_test"].get("loss", float("nan"))

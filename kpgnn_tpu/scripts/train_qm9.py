@@ -16,7 +16,8 @@ import jax
 from ..data import load_qm9
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+from .common import (base_parser, loader_kwargs, model_config,
+                     parallel_kwargs,
                      prepare, setup_run, train_config)
 
 
@@ -79,7 +80,8 @@ def main(argv=None):
     el = GraphLoader(with_target(test_idx), args.batch_size, **lk)
     trainer = Trainer(model, train_config(args, "mse", stop_at_min_lr=True),
                       loss="mse", metric_mode="min", eval_metric="mae",
-                      logger=logger)
+                      logger=logger,
+                      **parallel_kwargs(args))
     _, res = trainer.fit(tl, vl, el, rng=jax.random.PRNGKey(args.seed))
     # reference log line: MAE in dataset units, /std (normalized), and
     # /conversion back to original units when training post-conversion

@@ -15,7 +15,8 @@ import jax
 from ..data import load_sr25
 from ..models import make_model
 from ..train import GraphLoader, Trainer
-from .common import (base_parser, loader_kwargs, maybe_mesh, model_config,
+from .common import (base_parser, loader_kwargs, model_config,
+                     parallel_kwargs,
                      prepare, setup_run, train_config)
 
 
@@ -47,7 +48,8 @@ def main(argv=None):
     trainer = Trainer(model, train_config(args, "cross_entropy"),
                       loss="cross_entropy", metric_mode="max",
                       use_scheduler=False,
-                      bn_train_mode_eval=True, logger=logger)
+                      bn_train_mode_eval=True, logger=logger,
+                      **parallel_kwargs(args))
     _, res = trainer.fit(loader, eval_loader, eval_loader,
                          rng=jax.random.PRNGKey(args.seed))
     acc = res["best_val"]

@@ -182,7 +182,11 @@ class Trainer:
     logger: Optional[object] = None
     checkpoint_dir: Optional[str] = None
     max_checkpoints: int = 3
-    mesh: Optional[object] = None       # jax Mesh -> data-parallel steps
+    mesh: Optional[object] = None       # jax Mesh -> parallel steps
+    parallel_mode: str = "data"         # with mesh: "data" = one batch per
+                                        # device (dp.py), "node" = each batch
+                                        # node-sharded over the mesh with
+                                        # halo exchange (parallel/partition)
 
     def log(self, msg):
         if self.logger:
@@ -199,15 +203,41 @@ class Trainer:
                    else next(iter(train_loader)))
         state, tx = create_train_state(
             self.model, example, init_rng, self.cfg.lr, self.cfg.l2_wd)
-        if self.mesh is not None:
-            from ..parallel.dp import make_parallel_train_step
+        n_dev = (int(np.prod(self.mesh.devices.shape))
+                 if self.mesh is not None else 1)
+        wrap_eval_loader = lambda l: l
+        if self.mesh is not None and self.parallel_mode == "node":
+            from ..parallel.partition import (PartitionedLoader,
+                                              make_sharded_eval_step,
+                                              make_sharded_train_step)
+            axis = self.mesh.axis_names[0]
+            train_step = make_sharded_train_step(
+                self.model, tx, self.mesh, self.loss, self.node_level,
+                axis=axis)
+            eval_step = make_sharded_eval_step(
+                self.model, self.mesh, self.loss, self.node_level,
+                self.eval_metric, axis=axis,
+                bn_train_mode=self.bn_train_mode_eval)
+            wrap_eval_loader = lambda l: PartitionedLoader(l, n_dev, axis)
+        elif self.mesh is not None:
+            from ..parallel.dp import (ShardStream, make_parallel_eval_step,
+                                       make_parallel_train_step)
             train_step = make_parallel_train_step(
                 self.model, tx, self.mesh, self.loss, self.node_level)
+            eval_step = make_parallel_eval_step(
+                self.model, self.mesh, self.loss, self.node_level,
+                self.eval_metric, self.bn_train_mode_eval)
+            wrap_eval_loader = lambda l: ShardStream(l, n_dev)
         else:
             train_step = make_train_step(self.model, tx, self.loss,
                                          self.node_level)
-        eval_step = make_eval_step(self.model, self.loss, self.node_level,
-                                   self.eval_metric, self.bn_train_mode_eval)
+            eval_step = make_eval_step(
+                self.model, self.loss, self.node_level,
+                self.eval_metric, self.bn_train_mode_eval)
+        if val_loader is not None:
+            val_loader = wrap_eval_loader(val_loader)
+        if test_loader is not None:
+            test_loader = wrap_eval_loader(test_loader)
         sched_mode = "min" if self.sched_on == "loss" else self.metric_mode
         sched = ReduceLROnPlateau(
             factor=self.cfg.factor, patience=self.cfg.patience,
@@ -231,9 +261,12 @@ class Trainer:
           try:
             t0 = time.time()
             rng, sub = jax.random.split(rng)
-            if self.mesh is not None:
+            if self.mesh is not None and self.parallel_mode == "node":
+                from ..parallel.partition import partition_loader
+                stream = partition_loader(train_loader, n_dev,
+                                          self.mesh.axis_names[0])
+            elif self.mesh is not None:
                 from ..parallel.dp import shard_loader
-                n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
                 stream = shard_loader(train_loader, n_dev)
             else:
                 stream = train_loader

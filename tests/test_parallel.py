@@ -82,39 +82,184 @@ def test_parallel_step_runs_8_devices():
     assert np.isfinite(float(m["loss_sum"]))
 
 
-def test_edge_partition_aggregate_matches_single():
+def random_coo(n=64, e=200, K=3, seed=0):
     from kpgnn_tpu.ops.adjacency import COOAdj
-    from kpgnn_tpu.ops.segment import khop_aggregate
-    from kpgnn_tpu.parallel.edge_partition import (
-        make_edge_parallel_aggregate, partition_edges)
-
-    rng = np.random.default_rng(0)
-    n, e, K, D = 64, 200, 3, 8
+    rng = np.random.default_rng(seed)
     senders = rng.integers(0, n - 1, e).astype(np.int32)
     receivers = np.sort(rng.integers(0, n - 1, e)).astype(np.int32)
     attr = rng.integers(0, 5, size=(e, K)).astype(np.int32)
-    adj = COOAdj(senders=jnp.asarray(senders),
-                 receivers=jnp.asarray(receivers),
-                 edge_attr=jnp.asarray(attr),
-                 edge_mask=jnp.ones(e, bool), n_nodes=n)
-    x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
-    e_emb = jnp.asarray(rng.normal(size=(e, K, D)).astype(np.float32))
+    mask = rng.random(e) < 0.9
+    attr[~mask] = 0          # collate invariant: masked edge -> attr 0
+    return COOAdj(senders=jnp.asarray(senders),
+                  receivers=jnp.asarray(receivers),
+                  edge_attr=jnp.asarray(attr),
+                  edge_mask=jnp.asarray(mask), n_nodes=n), rng
 
-    expect = khop_aggregate(x, adj.senders, adj.receivers, e_emb,
-                            adj.edge_attr)
+
+@pytest.mark.parametrize("mode", ["add", "scale", "mean"])
+def test_sharded_aggregate_matches_coo(mode):
+    """Bare node-sharded aggregation (halo exchange) vs the COO path."""
+    from jax.sharding import PartitionSpec as P
+    from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
+    from kpgnn_tpu.parallel import make_mesh, partition_adj
+
+    n, K, D, V = 64, 3, 8, 6
+    adj, rng = random_coo(n=n, K=K)
+    x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
+    t1 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    tk = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    scale = sender_scale = None
+    aggr = "mean" if mode == "mean" else "add"
+    if mode == "scale":
+        scale = jnp.asarray(rng.random((n, K)), jnp.float32)
+        sender_scale = jnp.asarray(rng.random((n, K)), jnp.float32)
+    expect = khop_aggregate_adj(adj, x, t1, tk, scale=scale,
+                                sender_scale=sender_scale, aggr=aggr)
 
     n_shards = 4
-    sharded = partition_edges(adj, n_shards)
-    per = sharded.senders.shape[1]
-    e_emb_pad = jnp.zeros((n_shards * per, K, D)).at[:e].set(e_emb)
-    e_emb_sh = e_emb_pad.reshape(n_shards, per, K, D)
+    sharded = partition_adj(adj, n_shards)
+    mesh = make_mesh(n_shards, axis_names=("node",))
+    node = P("node")
+    sh_specs = sharded.replace(senders=node, receivers=node,
+                               edge_attr=node, edge_mask=node,
+                               send_rows=node)
+    opt = lambda v: node if v is not None else None
 
-    from kpgnn_tpu.parallel import make_mesh
-    mesh = make_mesh(n_shards, axis_names=("edge",))
-    agg = make_edge_parallel_aggregate(mesh)
-    out = agg(x, sharded.senders, sharded.receivers, sharded.edge_attr,
-              e_emb_sh)
+    def per_device(adj_s, x_s, s, ss):
+        return khop_aggregate_adj(adj_s, x_s, t1, tk, scale=s,
+                                  sender_scale=ss, aggr=aggr)
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(sh_specs, node, opt(scale),
+                                 opt(sender_scale)),
+                       out_specs=node)
+    out = fn(sharded, x, scale, sender_scale)
     assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_sharded_comm_is_boundary_not_full_table():
+    """The halo all_to_all payload must scale with the boundary, not the
+    node table (the round-1 demo psummed the full (N, K, D) output)."""
+    from kpgnn_tpu.parallel import partition_adj
+    K, D = 3, 16
+    # worst case: a uniformly random graph — even then the exchange is
+    # strictly cheaper than the replicate-and-psum design
+    adj, _ = random_coo(n=256, e=1000, K=K)
+    sharded = partition_adj(adj, 4)
+    assert sharded.comm_elems_per_layer(K, D) < \
+        sharded.psum_elems_per_layer(K, D)
+    assert sharded.boundary_total() > 0
+    assert sharded.halo <= 256 // 4
+
+    # best case: block-diagonal (graphs aligned to shard boundaries) ->
+    # zero boundary, the exchange carries only a single padding row/pair
+    from kpgnn_tpu.ops.adjacency import COOAdj
+    rng = np.random.default_rng(21)
+    blocks = []
+    for b in range(4):
+        s = rng.integers(16 * b, 16 * (b + 1), 50)
+        r = np.sort(rng.integers(16 * b, 16 * (b + 1), 50))
+        blocks.append((s, r))
+    senders = np.concatenate([s for s, _ in blocks]).astype(np.int32)
+    receivers = np.concatenate([r for _, r in blocks]).astype(np.int32)
+    attr = rng.integers(1, 5, size=(200, K)).astype(np.int32)
+    block = COOAdj(senders=jnp.asarray(senders),
+                   receivers=jnp.asarray(receivers),
+                   edge_attr=jnp.asarray(attr),
+                   edge_mask=jnp.ones(200, bool), n_nodes=64)
+    aligned = partition_adj(block, 4)
+    assert aligned.boundary_total() == 0
+    assert aligned.halo == 1
+    assert aligned.comm_elems_per_layer(K, D) <= 4 * K * D
+
+
+def test_sharded_train_step_matches_single_device():
+    from kpgnn_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                    partition_batch)
+    graphs = toy_graphs(16)
+    model = make_model(cfg())
+    big = collate(graphs, n_pad=256, e_pad=512, g_pad=17)
+    state, tx = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    single = make_train_step(model, tx, loss="mse", donate=False)
+    s1, m1 = single(state, big, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(4, axis_names=("node",))
+    pb = partition_batch(big, 4)
+    step = make_sharded_train_step(model, tx, mesh, loss="mse")
+    state2, _ = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    s2, m2 = step(state2, pb, jax.random.PRNGKey(1))
+
+    l1 = float(m1["loss_sum"]) / float(m1["count"])
+    l2 = float(m2["loss_sum"]) / float(m2["count"])
+    assert np.isclose(l1, l2, atol=1e-5), (l1, l2)
+    # gradients agree to float noise; Adam's sign-like first step can
+    # amplify near-zero-grad noise, so compare with a loose bound only
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2.1e-2)
+
+
+def test_sharded_eval_step_matches_single_device():
+    from kpgnn_tpu.parallel import (make_mesh, make_sharded_eval_step,
+                                    partition_batch)
+    from kpgnn_tpu.train import make_eval_step
+    graphs = toy_graphs(12, seed=5)
+    model = make_model(cfg())
+    big = collate(graphs, n_pad=128, e_pad=256, g_pad=13)
+    state, _ = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    m1 = make_eval_step(model, loss="mse")(state, big)
+
+    mesh = make_mesh(4, axis_names=("node",))
+    step = make_sharded_eval_step(model, mesh, loss="mse")
+    m2 = step(state, partition_batch(big, 4))
+    assert np.isclose(float(m1["loss_sum"]), float(m2["loss_sum"]),
+                      atol=1e-4)
+    assert float(m1["count"]) == float(m2["count"])
+
+
+def test_trainer_node_parallel(tmp_path):
+    from kpgnn_tpu.train import GraphLoader, TrainConfig, Trainer
+    graphs = toy_graphs(16, seed=11)
+    model = make_model(cfg())
+    mesh = make_mesh(4, axis_names=("node",))
+    tl = GraphLoader(graphs, batch_size=8, shuffle=True, seed=0)
+    vl = GraphLoader(graphs, batch_size=8)
+    trainer = Trainer(model, TrainConfig(lr=1e-2, num_epochs=2, batch_size=8,
+                                         loss="mse"),
+                      loss="mse", mesh=mesh, parallel_mode="node")
+    state, res = trainer.fit(tl, vl, rng=jax.random.PRNGKey(0))
+    assert np.isfinite(res["history"][-1]["train_loss"])
+    # every graph counted during eval despite node sharding
+    assert res["history"][-1]["val_loss"] is not None
+
+
+def test_shard_loader_pads_trailing_group():
+    """No training data is dropped: 5 batches over 4 devices -> 2 stacked
+    groups, the second padded with masked-empty batches; total live count
+    equals the dataset size."""
+    from kpgnn_tpu.parallel.dp import shard_loader
+    graphs = toy_graphs(20, seed=7)
+    batches = [collate(graphs[i * 4:(i + 1) * 4], n_pad=64, e_pad=128,
+                       g_pad=5) for i in range(5)]
+    groups = list(shard_loader(batches, 4))
+    assert len(groups) == 2
+    live = sum(int(np.sum(np.asarray(g.graph_mask))) for g in groups)
+    assert live == 20
+
+
+def test_parallel_eval_counts_every_graph():
+    from kpgnn_tpu.parallel.dp import ShardStream, make_parallel_eval_step
+    graphs = toy_graphs(20, seed=13)
+    model = make_model(cfg())
+    batches = [collate(graphs[i * 4:(i + 1) * 4], n_pad=64, e_pad=128,
+                       g_pad=5) for i in range(5)]
+    state, _ = create_train_state(model, batches[0], jax.random.PRNGKey(0),
+                                  1e-2)
+    mesh = make_mesh(4)
+    step = make_parallel_eval_step(model, mesh, loss="mse")
+    total = 0.0
+    for g in ShardStream(batches, 4):
+        total += float(step(state, g)["count"])
+    assert total == 20.0
 
 
 def test_trainer_with_mesh(tmp_path):
