@@ -48,7 +48,7 @@ def main(argv=None):
                          seed=args.seed + run, **lk)
         vl = GraphLoader(prepped["val"], args.batch_size, **lk)
         el = GraphLoader(prepped["test"], args.batch_size, **lk)
-        trainer = Trainer(model, train_config(args, "l1"),
+        trainer = Trainer(model, train_config(args, "l1", stop_at_min_lr=True),
                           loss="l1", metric_mode="min", logger=logger,
                           **parallel_kwargs(args))
         _, res = trainer.fit(tl, vl, el,

@@ -47,7 +47,7 @@ def main(argv=None):
                          seed=args.seed + run, **lk)
         vl = GraphLoader(prepped["val"], args.batch_size, **lk)
         el = GraphLoader(prepped["test"], args.batch_size, **lk)
-        trainer = Trainer(model, train_config(args, "mse"),
+        trainer = Trainer(model, train_config(args, "mse", stop_at_min_lr=True),
                           loss="mse", metric_mode="min", logger=logger,
                           **parallel_kwargs(args))
         _, res = trainer.fit(tl, vl, el,

@@ -302,7 +302,10 @@ class Trainer:
                 for k, v in row.items() if not isinstance(v, np.ndarray)))
             if epoch_callback is not None:
                 epoch_callback(epoch, state, row)
-            if self.cfg.stop_at_min_lr and get_lr(state) <= self.cfg.min_lr:
+            # f32-stored lr can round a hair above min_lr; compare with a
+            # relative tolerance so the floor is still recognized
+            if (self.cfg.stop_at_min_lr
+                    and get_lr(state) <= self.cfg.min_lr * (1 + 1e-5)):
                 self.log(f"lr reached min_lr at epoch {epoch}; stopping")
                 break
           except KeyboardInterrupt:
