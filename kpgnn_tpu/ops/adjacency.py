@@ -83,13 +83,14 @@ def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
 
 def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
     """(N, K) per-hop in-degree over live hop entries."""
+    from .pallas_spmm import KHopPallasPlan
     from .sharded_adjacency import ShardedCOOAdj, sharded_degree
 
     if isinstance(adj, ShardedCOOAdj):
         return sharded_degree(adj, add_self_loop)
-    if not isinstance(adj, (COOAdj, DenseAdj)):
-        raise ValueError("degree() needs the COO or dense backend "
-                         "(the pallas plan drops per-edge hop masks)")
+    if isinstance(adj, KHopPallasPlan):
+        deg = adj.degree()
+        return deg + 1.0 if add_self_loop else deg
     if isinstance(adj, COOAdj):
         live = (adj.edge_attr > 0).astype(jnp.float32)
         deg = jax.ops.segment_sum(live, adj.receivers,
@@ -107,10 +108,13 @@ def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
 def union_in_degree(adj: Adjacency) -> jnp.ndarray:
     """(N,) count of union edges into each node (the reference's PyG mean
     denominator counts every union edge regardless of hop mask)."""
+    from .pallas_spmm import KHopPallasPlan
     from .sharded_adjacency import ShardedCOOAdj, sharded_union_in_degree
 
     if isinstance(adj, ShardedCOOAdj):
         return sharded_union_in_degree(adj)
+    if isinstance(adj, KHopPallasPlan):
+        return adj.union_deg
     if isinstance(adj, COOAdj):
         return jax.ops.segment_sum(
             adj.edge_mask.astype(jnp.float32), adj.receivers,
@@ -145,12 +149,9 @@ def khop_aggregate_adj(
         return sharded_khop_aggregate(adj, x, t1, tk, scale=scale,
                                       sender_scale=sender_scale, aggr=aggr)
     if isinstance(adj, KHopPallasPlan):
-        if scale is not None or sender_scale is not None or aggr != "add":
-            raise ValueError(
-                "the pallas backend supports plain sum aggregation only "
-                "(use the COO backend for GCN norms / mean aggregation)")
-        return khop_spmm(x.astype(jnp.float32), table1, tablek, adj
-                         ).astype(x.dtype)
+        return khop_spmm(x.astype(jnp.float32), table1, tablek, adj,
+                         scale=scale, sender_scale=sender_scale,
+                         aggr=aggr).astype(x.dtype)
 
     table1 = _zero_row0(table1).astype(x.dtype)
     tablek = (_zero_row0(tablek).astype(x.dtype)

@@ -70,7 +70,7 @@ def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     return (codes[..., None] == iota).astype(jnp.float32)
 
 
-def _kernel(max_chunks, precision, indptr_ref, senders2d_hbm, x_ref,
+def _kernel(max_chunks, precision, col_off, indptr_ref, senders2d_hbm, x_ref,
             starts_ref, ends_ref, out_ref, sbuf, sem):
     # CRITICAL Mosaic behavior (measured): a fori_loop with a *traced*
     # trip count lowers to a serializing while-loop at ~1 ms/iteration;
@@ -100,7 +100,10 @@ def _kernel(max_chunks, precision, indptr_ref, senders2d_hbm, x_ref,
             # sender gather as a one-hot matmul against the VMEM-resident
             # node table (row-DMA loops and dynamic VMEM loads are
             # latency-bound; this rides the MXU)
-            codes_col = jnp.transpose(sbuf[...])              # (TILE_E, 1)
+            # col_off shifts sender ids into this node-table shard's local
+            # row range; out-of-shard senders miss every iota column and
+            # contribute zero (that is the streaming fallback's masking)
+            codes_col = jnp.transpose(sbuf[...]) - col_off    # (TILE_E, 1)
             s_oh = (codes_col == jax.lax.broadcasted_iota(
                 jnp.int32, (TILE_E, N), 1)).astype(jnp.float32)
             sx = jax.lax.dot_general(
@@ -124,7 +127,7 @@ def _kernel(max_chunks, precision, indptr_ref, senders2d_hbm, x_ref,
 
 
 def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
-                       interpret: bool = False,
+                       interpret: Optional[bool] = None,
                        precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
 
@@ -132,51 +135,70 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     (it is zeroed here — null alignment edges point at it).  The feature
     dim pads to the 128-lane tile internally.
     """
+    if interpret is None:
+        # Mosaic only lowers on TPU; on CPU run the kernel in interpret
+        # mode so --backend pallas stays debuggable everywhere
+        interpret = jax.default_backend() == "cpu"
     n, D_in = x.shape
     D = ((D_in + 127) // 128) * 128
     assert n % TILE_R == 0, f"n_pad {n} must divide by {TILE_R}"
-    assert n * D * 4 <= VMEM_X_LIMIT, \
-        f"node table {n}x{D} too large for the VMEM-resident kernel"
     x = x.at[n - 1].set(0.0)
     if D != D_in:
         x = jnp.pad(x, ((0, 0), (0, D - D_in)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // TILE_R,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                # senders2d
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # x (full)
-            pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row starts
-            pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row ends
-        ],
-        out_specs=pl.BlockSpec((TILE_R, D), lambda i, *_: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((1, TILE_E), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, csr.max_chunks, precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
-        interpret=interpret,
-    )(csr.indptr, csr.senders2d, x, csr.row_starts, csr.row_ends)
+    def call(x_shard, col_off):
+        ns = x_shard.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // TILE_R,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),               # senders2d
+                pl.BlockSpec(memory_space=pltpu.VMEM),           # x shard
+                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row starts
+                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row ends
+            ],
+            out_specs=pl.BlockSpec((TILE_R, D), lambda i, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, TILE_E), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, csr.max_chunks, precision, col_off),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+            interpret=interpret,
+        )(csr.indptr, csr.senders2d, x_shard, csr.row_starts, csr.row_ends)
+
+    if n * D * 4 <= VMEM_X_LIMIT:
+        out = call(x, 0)
+    else:
+        # streaming fallback: keep one node-table shard in VMEM at a time;
+        # out-of-shard senders vanish from the one-hot, so the per-shard
+        # outputs just sum
+        rows = max(TILE_R, (VMEM_X_LIMIT // (D * 4)) // TILE_R * TILE_R)
+        out = sum(call(x[s:s + rows], s) for s in range(0, n, rows))
     return out[:, :D_in] if D != D_in else out
 
 
 def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
-               tile_e=TILE_E) -> HopCSR:
+               tile_e=TILE_E, aux=()) -> HopCSR:
     """Receiver-sorted CSR whose per-row-tile edge segments are padded to
     TILE_E multiples with null edges (sender = n_nodes-1, contribution
-    forced to zero by the kernel)."""
+    forced to zero by the kernel).
+
+    `aux`: optional [(array, pad_value), ...] of per-edge metadata sorted
+    and padded alongside the senders; returns (csr, [flat_aux, ...]) then.
+    """
     order = np.argsort(receivers, kind="stable")
     receivers = np.asarray(receivers)[order]
     senders = np.asarray(senders)[order]
+    aux = [(np.asarray(a)[order], pad) for a, pad in aux]
     raw_indptr = np.searchsorted(receivers, np.arange(n_nodes + 1))
 
     n_tiles = n_nodes // tile_r
     seg_senders: List[np.ndarray] = []
+    seg_aux: List[List[np.ndarray]] = [[] for _ in aux]
     indptr = np.zeros(n_nodes + 1, dtype=np.int64)
     pos = 0
     for t in range(n_tiles):
@@ -190,19 +212,26 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         seg_senders.append(seg)
         if pad:
             seg_senders.append(np.full(pad, n_nodes - 1, senders.dtype))
+        for j, (a, pv) in enumerate(aux):
+            seg_aux[j].append(a[lo:hi])
+            if pad:
+                seg_aux[j].append(np.full(pad, pv, a.dtype))
         pos += len(seg) + pad
     indptr[n_nodes] = pos
     flat = (np.concatenate(seg_senders) if seg_senders
             else np.zeros(0, np.int64))
+    flat_aux = [np.concatenate(s) if s else np.zeros(0, np.int64)
+                for s in seg_aux]
     if len(flat) == 0:
         flat = np.full(tile_e, n_nodes - 1, np.int64)
+        flat_aux = [np.full(tile_e, pv, np.int64) for _, pv in aux]
         pos = tile_e
         indptr[n_nodes] = 0
     # tile t's padded segment length = next tile start - this tile start
     starts = [int(indptr[t * tile_r]) for t in range(n_tiles)] + [int(pos)]
     max_chunks = max(
         (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles))
-    return HopCSR(
+    csr = HopCSR(
         indptr=jnp.asarray(indptr.astype(np.int32)),
         senders2d=jnp.asarray(flat.astype(np.int32).reshape(-1, tile_e)),
         row_starts=jnp.asarray(indptr[:-1].astype(np.int32)
@@ -211,6 +240,9 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
                              .reshape(n_nodes, 1)),
         max_chunks=max(max_chunks, 1),
     )
+    if aux:
+        return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]
+    return csr
 
 
 @struct.dataclass
@@ -224,6 +256,18 @@ class KHopPallasPlan:
     bwd: Tuple[HopCSR, ...]         # per hop, sender-sorted (transpose)
     counts1: jnp.ndarray            # (N, V1) hop-1 attr histogram
     countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) | None
+    # per hop, aligned with fwd[k].senders2d.reshape(-1): receiver id and
+    # attr code of every padded edge (pad: receiver N-1, code 0) — only
+    # needed for sender-scaled embeddings (GCN norm)
+    hop_recv: Tuple[jnp.ndarray, ...] = ()
+    hop_code: Tuple[jnp.ndarray, ...] = ()
+    # (N,) union in-degree over real edges regardless of hop mask (the
+    # reference's PyG mean denominator); slice_hops keeps it because the
+    # union edge list does not shrink when hop columns are sliced
+    union_deg: Optional[jnp.ndarray] = None
+    # (N, K) per-hop live in-degree (CSR row extents are tile-padded on
+    # the last row of each tile, so the exact counts are stored directly)
+    hop_deg: Optional[jnp.ndarray] = None
 
     @property
     def K(self) -> int:
@@ -234,7 +278,14 @@ class KHopPallasPlan:
             fwd=self.fwd[:k], bwd=self.bwd[:k],
             counts1=self.counts1,
             countsk=(self.countsk[:, :k - 1] if k > 1 else None),
+            hop_recv=self.hop_recv[:k], hop_code=self.hop_code[:k],
+            union_deg=self.union_deg,
+            hop_deg=(self.hop_deg[:, :k]
+                     if self.hop_deg is not None else None),
         )
+
+    def degree(self) -> jnp.ndarray:
+        return self.hop_deg
 
 
 def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
@@ -245,11 +296,16 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
     senders = np.asarray(senders)
     attr = np.asarray(attr)
     K = attr.shape[1]
-    fwd, bwd = [], []
+    fwd, bwd, hop_recv, hop_code = [], [], [], []
     for k in range(K):
         live = attr[:, k] > 0
         r, s = receivers[live], senders[live]
-        fwd.append(_build_one(r, s, n_nodes))
+        c = np.clip(attr[live, k], 0, (v1 if k == 0 else vk) - 1)
+        csr, (rf, cf) = _build_one(r, s, n_nodes,
+                                   aux=[(r, n_nodes - 1), (c, 0)])
+        fwd.append(csr)
+        hop_recv.append(rf)
+        hop_code.append(cf)
         bwd.append(_build_one(s, r, n_nodes))
     counts1 = np.zeros((n_nodes, v1), np.float32)
     np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
@@ -261,10 +317,17 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
             np.add.at(countsk[:, k - 1],
                       (receivers, np.clip(attr[:, k], 0, vk - 1)), 1.0)
         countsk[:, :, 0] = 0.0
+    union_deg = np.bincount(receivers, minlength=n_nodes).astype(np.float32)
+    hop_deg = np.stack(
+        [np.bincount(receivers[attr[:, k] > 0], minlength=n_nodes)
+         for k in range(K)], axis=1).astype(np.float32)
     return KHopPallasPlan(
         fwd=tuple(fwd), bwd=tuple(bwd),
         counts1=jnp.asarray(counts1),
         countsk=jnp.asarray(countsk) if countsk is not None else None,
+        hop_recv=tuple(hop_recv), hop_code=tuple(hop_code),
+        union_deg=jnp.asarray(union_deg),
+        hop_deg=jnp.asarray(hop_deg),
     )
 
 
@@ -293,15 +356,37 @@ def _gs_bwd(res, g):
 _gather_segment.defvjp(_gs_fwd, _gs_bwd)
 
 
+def _weighted_counts(plan: KHopPallasPlan, k: int, s_col: jnp.ndarray,
+                     V: int) -> jnp.ndarray:
+    """(N, V) histogram of hop-k attr codes weighted by the sender-side
+    scale: W[i, v] = sum over live hop-k edges e -> i with code v of
+    s_col[sender(e)].  Padding edges carry code 0, killed by the zeroed
+    table row downstream."""
+    n = s_col.shape[0]
+    senders_flat = plan.fwd[k].senders2d.reshape(-1)
+    s_e = s_col[senders_flat]
+    idx = plan.hop_recv[k] * V + plan.hop_code[k]
+    return jax.ops.segment_sum(s_e, idx, num_segments=n * V
+                               ).reshape(n, V)
+
+
 def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
               tablek: Optional[jnp.ndarray],
-              plan: KHopPallasPlan) -> jnp.ndarray:
+              plan: KHopPallasPlan,
+              *,
+              scale: Optional[jnp.ndarray] = None,         # (N, K) s_i
+              sender_scale: Optional[jnp.ndarray] = None,  # (N, K) s_j
+              aggr: str = "add") -> jnp.ndarray:
     """Full differentiable k-hop aggregation via the Pallas kernel.
 
     x: (N, K, D); returns (N, K, D).  Matches ops.adjacency's
-    khop_aggregate_adj on the COO backend.
+    khop_aggregate_adj on the COO backend, including GCN's factored
+    s_i * s_j norm (sender side pre-scales the gathered table, receiver
+    side post-scales the output) and SAGE's union-denominator mean.
     """
     n, K, D = x.shape
+    if sender_scale is not None:
+        x = x * sender_scale[..., None]
     outs = [
         _gather_segment(x[:, k, :], plan.fwd[k], plan.bwd[k])
         for k in range(K)
@@ -309,12 +394,32 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     out = jnp.stack(outs, axis=1)                              # (N, K, D)
     t1 = table1.at[0].set(0.0)
     hi = jax.lax.Precision.HIGHEST     # counts are exact integers; keep f32
-    emb = jnp.matmul(plan.counts1, t1, precision=hi)           # (N, D)
-    if tablek is not None and K > 1:
-        tk = tablek.at[0].set(0.0)
-        embk = jnp.einsum("nkv,vd->nkd", plan.countsk, tk,
-                          precision=hi)                        # (N, K-1, D)
-        emb_all = jnp.concatenate([emb[:, None], embk], axis=1)
+    if sender_scale is None:
+        emb = jnp.matmul(plan.counts1, t1, precision=hi)       # (N, D)
+        if tablek is not None and K > 1:
+            tk = tablek.at[0].set(0.0)
+            embk = jnp.einsum("nkv,vd->nkd", plan.countsk, tk,
+                              precision=hi)                    # (N, K-1, D)
+            emb_all = jnp.concatenate([emb[:, None], embk], axis=1)
+        else:
+            emb_all = emb[:, None]
     else:
-        emb_all = emb[:, None]
-    return out + emb_all
+        # counts were built unweighted; rebuild per hop weighted by s_j
+        # (scalar scatter per edge, then the table matmul rides the MXU)
+        w1 = _weighted_counts(plan, 0, sender_scale[:, 0], t1.shape[0])
+        parts = [jnp.matmul(w1, t1, precision=hi)[:, None]]
+        if tablek is not None and K > 1:
+            tk = tablek.at[0].set(0.0)
+            for k in range(1, K):
+                wk = _weighted_counts(plan, k, sender_scale[:, k],
+                                      tk.shape[0])
+                parts.append(jnp.matmul(wk, tk, precision=hi)[:, None])
+        emb_all = jnp.concatenate(parts, axis=1)
+    out = out + emb_all
+    if scale is not None:
+        out = out * scale[..., None]
+    if aggr == "mean":
+        out = out / jnp.maximum(plan.union_deg, 1.0)[:, None, None]
+    elif aggr != "add":
+        raise ValueError(f"pallas backend does not support aggr={aggr!r}")
+    return out

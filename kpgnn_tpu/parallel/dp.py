@@ -70,10 +70,16 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
     """Returns a jitted step: (replicated TrainState, stacked GraphBatch,
     rng) -> (TrainState, metrics).  Gradient psum rides ICI."""
 
+    # a tuple axis (e.g. ("dcn", "data") from parallel.multihost) shards
+    # the super-batch over both mesh axes; psums name the pair and XLA
+    # reduces hierarchically (ICI inside a host, DCN across hosts)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
     def per_device(state: TrainState, batch: GraphBatch, rng):
         # shard_map keeps the (now size-1) leading device axis; drop it
         batch = jax.tree.map(lambda a: a[0], batch)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        for a in axes:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(a))
 
         def loss_fn(params):
             variables = {"params": params}
@@ -91,12 +97,12 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
                     rngs={"dropout": rng}), {}
             mask = _batch_target_mask(batch, node_level)
             lsum, cnt = _masked_loss(pred, batch.y, mask, loss)
-            total_cnt = jax.lax.psum(cnt, axis)
+            total_cnt = jax.lax.psum(cnt, axes)
             return lsum / jnp.maximum(total_cnt, 1.0), (updates, lsum, cnt)
 
         (_, (updates, lsum, cnt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.psum(grads, axis)
+        grads = jax.lax.psum(grads, axes)
         new_bs = state.batch_stats
         if new_bs is not None and updates:
             # cross-replica mean of the updated running stats, matching a
@@ -104,23 +110,23 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
             # weighted by liveness so masked-empty padding batches (the
             # trailing-group fill from shard_loader) don't dilute them
             live = (cnt > 0).astype(jnp.float32)
-            n_live = jnp.maximum(jax.lax.psum(live, axis), 1.0)
+            n_live = jnp.maximum(jax.lax.psum(live, axes), 1.0)
             new_bs = jax.tree.map(
-                lambda u: jax.lax.psum(u * live, axis) / n_live,
+                lambda u: jax.lax.psum(u * live, axes) / n_live,
                 updates["batch_stats"])
         updates_tx, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates_tx)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
                                   opt_state=new_opt, step=state.step + 1)
         metrics = {
-            "loss_sum": jax.lax.psum(lsum, axis),
-            "count": jax.lax.psum(cnt, axis),
+            "loss_sum": jax.lax.psum(lsum, axes),
+            "count": jax.lax.psum(cnt, axes),
         }
         return new_state, metrics
 
     # params/opt replicated; the stacked batch splits on its leading axis
     state_spec = P()
-    batch_spec = P(axis)
+    batch_spec = P(axes if len(axes) > 1 else axes[0])
     smapped = shard_map(
         per_device, mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
@@ -136,6 +142,8 @@ def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
     """Data-parallel eval: each device evaluates its batch of the stacked
     super-batch, per-batch sums psum over the axis — the same keys as
     train.loop.make_eval_step, so evaluate() aggregates identically."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
     def per_device(state: TrainState, batch: GraphBatch):
         batch = jax.tree.map(lambda a: a[0], batch)
         variables = {"params": state.params}
@@ -159,11 +167,11 @@ def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
             out["mae_sum"] = _masked_loss(pred, batch.y, mask, "l1")[0]
         if which in ("mse",) and loss not in ("mse",):
             out["mse_sum"] = _masked_loss(pred, batch.y, mask, "mse")[0]
-        return jax.tree.map(lambda v: jax.lax.psum(v, axis), out)
+        return jax.tree.map(lambda v: jax.lax.psum(v, axes), out)
 
     smapped = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(axes if len(axes) > 1 else axes[0])),
         out_specs=P(),
         check_vma=False,
     )

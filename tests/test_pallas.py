@@ -82,6 +82,122 @@ def test_khop_spmm_matches_oracle():
         np.abs(np.asarray(out) - expect).max()
 
 
+def test_streaming_node_table():
+    # VMEM limit forced below the table size -> sharded accumulation must
+    # match the single-shard result
+    senders, receivers, attr, x, t1, tk = case(seed=5, n=384, e=900, D=24)
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    full = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    orig = ps.VMEM_X_LIMIT
+    try:
+        ps.VMEM_X_LIMIT = 128 * 128 * 4          # one TILE_R row block
+        shard = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk),
+                          plan)
+    finally:
+        ps.VMEM_X_LIMIT = orig
+    assert np.allclose(np.asarray(shard), np.asarray(full), atol=1e-4)
+
+
+def _coo_reference(senders, receivers, attr, x, t1, tk, n, scale=None,
+                   sender_scale=None, aggr="add"):
+    from kpgnn_tpu.ops.adjacency import COOAdj, khop_aggregate_adj
+    adj = COOAdj(senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+                 edge_attr=jnp.asarray(attr),
+                 edge_mask=jnp.ones(len(senders), bool), n_nodes=n)
+    return khop_aggregate_adj(
+        adj, jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk),
+        scale=scale, sender_scale=sender_scale, aggr=aggr)
+
+
+def test_khop_spmm_gcn_norm_matches_coo():
+    # GCN's factored s_i * s_j norm: sender side scales both the gathered
+    # state and the edge embeddings (weighted-count path)
+    senders, receivers, attr, x, t1, tk = case(seed=7)
+    n, K = x.shape[0], x.shape[1]
+    rng = np.random.default_rng(8)
+    s_i = jnp.asarray(rng.uniform(0.5, 2.0, (n, K)).astype(np.float32))
+    s_j = jnp.asarray(rng.uniform(0.5, 2.0, (n, K)).astype(np.float32))
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan,
+                    scale=s_i, sender_scale=s_j)
+    expect = _coo_reference(senders, receivers, attr, x, t1, tk, n,
+                            scale=s_i, sender_scale=s_j)
+    assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-3), \
+        np.abs(np.asarray(out) - np.asarray(expect)).max()
+
+
+def test_khop_spmm_mean_matches_coo():
+    senders, receivers, attr, x, t1, tk = case(seed=9)
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan,
+                    aggr="mean")
+    expect = _coo_reference(senders, receivers, attr, x, t1, tk, n,
+                            aggr="mean")
+    assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-4), \
+        np.abs(np.asarray(out) - np.asarray(expect)).max()
+
+
+def test_plan_degree_matches_coo():
+    from kpgnn_tpu.ops.adjacency import COOAdj, degree, union_in_degree
+    senders, receivers, attr, x, t1, tk = case(seed=11)
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    adj = COOAdj(senders=jnp.asarray(senders),
+                 receivers=jnp.asarray(receivers),
+                 edge_attr=jnp.asarray(attr),
+                 edge_mask=jnp.ones(len(senders), bool), n_nodes=n)
+    np.testing.assert_allclose(np.asarray(degree(plan, add_self_loop=True)),
+                               np.asarray(degree(adj, add_self_loop=True)))
+    np.testing.assert_allclose(np.asarray(union_in_degree(plan)),
+                               np.asarray(union_in_degree(adj)))
+
+
+def test_gcn_layer_through_pallas_backend():
+    # full KPGCNConv forward parity COO vs pallas plan (degree -> norm ->
+    # aggregate -> combine), the family the backend previously refused
+    from kpgnn_tpu.nn.layers import KPGCNConv
+    from kpgnn_tpu.ops.adjacency import COOAdj
+    senders, receivers, attr, x, t1, tk = case(seed=13, K=2, D=8)
+    n, K = x.shape[0], 2
+    H = 16
+    rng = np.random.default_rng(14)
+    feats = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    adj = COOAdj(senders=jnp.asarray(senders),
+                 receivers=jnp.asarray(receivers),
+                 edge_attr=jnp.asarray(attr),
+                 edge_mask=jnp.ones(len(senders), bool), n_nodes=n)
+    plan = build_plan(receivers, senders, attr, n, 4 + 2, 7 + 2)
+    layer = KPGCNConv(hidden_size=H, K=K, num_hop1_edge=4, num_pe=7)
+    params = layer.init(jax.random.PRNGKey(0), feats, adj)
+    out_coo = layer.apply(params, feats, adj)
+    out_pl = layer.apply(params, feats, plan)
+    assert np.allclose(np.asarray(out_coo), np.asarray(out_pl), atol=1e-3), \
+        np.abs(np.asarray(out_coo) - np.asarray(out_pl)).max()
+
+
+def test_sage_layer_through_pallas_backend():
+    from kpgnn_tpu.nn.layers import KPGraphSAGEConv
+    from kpgnn_tpu.ops.adjacency import COOAdj
+    senders, receivers, attr, x, t1, tk = case(seed=15, K=2, D=8)
+    n, K = x.shape[0], 2
+    H = 16
+    rng = np.random.default_rng(16)
+    feats = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    adj = COOAdj(senders=jnp.asarray(senders),
+                 receivers=jnp.asarray(receivers),
+                 edge_attr=jnp.asarray(attr),
+                 edge_mask=jnp.ones(len(senders), bool), n_nodes=n)
+    plan = build_plan(receivers, senders, attr, n, 4 + 2, 7 + 2)
+    layer = KPGraphSAGEConv(hidden_size=H, K=K, num_hop1_edge=4, num_pe=7)
+    params = layer.init(jax.random.PRNGKey(0), feats, adj)
+    out_coo = layer.apply(params, feats, adj)
+    out_pl = layer.apply(params, feats, plan)
+    assert np.allclose(np.asarray(out_coo), np.asarray(out_pl), atol=1e-3), \
+        np.abs(np.asarray(out_coo) - np.asarray(out_pl)).max()
+
+
 def test_khop_spmm_grads():
     senders, receivers, attr, x, t1, tk = case(seed=3, n=128, e=300)
     n = x.shape[0]

@@ -274,3 +274,62 @@ def test_trainer_with_mesh(tmp_path):
                       loss="mse", mesh=mesh)
     state, res = trainer.fit(tl, vl, rng=jax.random.PRNGKey(0))
     assert np.isfinite(res["history"][-1]["train_loss"])
+
+
+# ---- multi-host (DCN) input sharding, simulated single-process ----
+
+def test_host_shard_partition():
+    from kpgnn_tpu.parallel.multihost import host_shard
+    items = list(range(23))
+    shards = [host_shard(items, pi, 4) for pi in range(4)]
+    assert sorted(sum(shards, [])) == items            # disjoint + covering
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    assert host_shard(items, 2, 4) == shards[2]        # deterministic
+
+
+def test_multihost_dcn_step_matches_single_device():
+    """2 hosts x 4 chips on the virtual mesh; the hierarchical
+    ("dcn", "data") step must equal the single-device step exactly."""
+    from kpgnn_tpu.parallel.multihost import dcn_mesh, make_global_super_batch
+
+    graphs = toy_graphs(16, seed=5)
+    model = make_model(cfg())
+    big = collate(graphs, n_pad=256, e_pad=512, g_pad=17)
+    state, tx = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    single = make_train_step(model, tx, loss="mse", donate=False)
+    s1, m1 = single(state, big, jax.random.PRNGKey(1))
+
+    mesh = dcn_mesh(n_hosts=2)
+    assert mesh.devices.shape == (2, 4)
+    shards = [collate(graphs[i * 2:(i + 1) * 2], n_pad=32, e_pad=64, g_pad=3)
+              for i in range(8)]
+    gbatch = make_global_super_batch(shards, mesh)
+    step = make_parallel_train_step(model, tx, mesh, loss="mse",
+                                    axis=("dcn", "data"))
+    state2, _ = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    s2, m2 = step(state2, gbatch, jax.random.PRNGKey(1))
+
+    assert float(m2["count"]) == 16.0
+    loss1 = float(m1["loss_sum"]) / float(m1["count"])
+    loss2 = float(m2["loss_sum"]) / float(m2["count"])
+    assert np.isclose(loss1, loss2, atol=1e-5), (loss1, loss2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_host_shard_loader_covers_every_graph():
+    """A partial trailing group pads with masked-empty batches; the total
+    live-graph count across the global stream equals the dataset size."""
+    from kpgnn_tpu.parallel.multihost import dcn_mesh, host_shard_loader
+
+    graphs = toy_graphs(11, seed=7)   # 11 graphs, 2-graph batches -> 6
+    mesh = dcn_mesh(n_hosts=2)        # batches over 4 local slots -> pad
+    batches = [collate(graphs[i:i + 2], n_pad=32, e_pad=64, g_pad=3)
+               for i in range(0, 11, 2)]
+    seen = 0.0
+    for gb in host_shard_loader(batches, mesh):
+        # single-process simulation: every device is local, so the global
+        # stack equals the local stack
+        assert gb.graph_mask.shape[0] == mesh.local_mesh.size
+        seen += float(np.asarray(gb.graph_mask).sum())
+    assert seen == 11.0
