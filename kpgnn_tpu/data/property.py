@@ -41,16 +41,18 @@ def _one_graph(N: int, seed: int, rng: np.random.Generator):
     return adj, x, node_labels, graph_labels
 
 
-def generate_property_dataset(seed: int = 1234) -> Dict[str, List[dict]]:
+def generate_property_dataset(seed: int = 1234,
+                              scale: float = 1.0) -> Dict[str, List[dict]]:
     """Splits sized like the reference (train 5120, val 640, test 1280;
     N in 15..24).  Returns raw-graph dicts with both node-level labels
     (key 'node_y') and graph-level labels (key 'y'), train-max
-    normalized."""
+    normalized.  `scale` shrinks every split proportionally (smoke runs)."""
     rng = np.random.default_rng(seed)
+    per = lambda n: max(1, int(round(n * scale)))
     sizes = {
-        "train": [512] * 10,
-        "val": [128] * 5,
-        "test": [256] * 5,
+        "train": [per(512)] * 10,
+        "val": [per(128)] * 5,
+        "test": [per(256)] * 5,
     }
     N_range = list(range(15, 25))
     raw = {k: [] for k in sizes}

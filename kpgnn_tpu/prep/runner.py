@@ -53,6 +53,12 @@ def preprocess_graphs(
     Each raw graph is a dict with keys num_nodes / edge_index and optional
     edge_attr / x / y / z / pos.  With `cache_dir` set, results round-trip
     through a pickle cache keyed by (name, cfg).
+
+    The cache is STRUCTURAL ONLY: labels (`y`) are re-attached from the
+    raw dicts on every call, cached or not.  Scripts routinely rewrite
+    `raw["y"]` per task/target before calling (e.g. counting tasks 0..4
+    share one structural prep); baking labels into the cache would serve
+    task 0's labels to every other task.
     """
     cache_path = None
     if cache_dir is not None:
@@ -62,7 +68,11 @@ def preprocess_graphs(
         )
         if os.path.exists(cache_path) and not reprocess:
             with open(cache_path, "rb") as f:
-                return pickle.load(f)
+                cached = pickle.load(f)
+            if len(cached) == len(raw_graphs):
+                return [g.replace(y=raw.get("y"))
+                        for g, raw in zip(cached, raw_graphs)]
+            # stale cache (dataset size changed under the same name)
 
     jobs = [(raw, cfg) for raw in raw_graphs]
     if num_workers and num_workers > 1 and len(jobs) > 64:

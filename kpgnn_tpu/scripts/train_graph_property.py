@@ -25,16 +25,18 @@ def main(argv=None):
                     max_edge_type=1, max_edge_count=50,
                     max_distance_count=100, lr=1e-2, patience=10, runs=1)
     p.add_argument("--task", type=int, default=0, choices=range(3))
+    p.add_argument("--data_scale", type=float, default=1.0,
+                   help="shrink the generated splits (smoke runs)")
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"gprop{args.task}")
 
-    data = generate_property_dataset(seed=1234)
+    data = generate_property_dataset(seed=1234, scale=args.data_scale)
     t = args.task
     for split in data.values():
         for g in split:
             g["y"] = np.array([g["y"][t]], np.float32)
             g.pop("node_y", None)
-    prepped = {k: prepare(v, args, f"gprop_{k}") for k, v in data.items()}
+    prepped = {k: prepare(v, args, f"gprop_{k}_s{args.data_scale}") for k, v in data.items()}
 
     mcfg = model_config(args, input_encoder=("linear", 2),
                         task="graph_regression", output_size=1)

@@ -287,3 +287,27 @@ def test_preprocess_runner_parallel_and_cache(tmp_path):
     cfg2 = KHopConfig(K=3, kernel="spd", max_edge_attr_num=5)
     g3 = preprocess_graphs(raws, cfg2, cache_dir=str(tmp_path), name="t")
     assert g3[3].edge_attr.shape[1] == 3
+
+
+def test_preprocess_cache_is_structural_only(tmp_path):
+    """Labels must come from the raw dicts on every call, never from the
+    cache — counting/property scripts rewrite raw['y'] per task and reuse
+    one structural prep (regression: tasks 1..4 silently trained on task
+    0's cached labels)."""
+    from kpgnn_tpu.prep import preprocess_graphs
+
+    raws = []
+    for i in range(4):
+        n_, ei, ea = random_graph(6, 0.4, i)
+        raws.append({"num_nodes": n_, "edge_index": ei, "edge_attr": ea,
+                     "x": np.zeros((n_, 1), np.int64),
+                     "y": np.array([0.0], np.float32)})
+    cfg = KHopConfig(K=2, kernel="spd", max_edge_attr_num=5)
+    preprocess_graphs(raws, cfg, cache_dir=str(tmp_path), name="lbl")
+    for i, r in enumerate(raws):          # task switch rewrites labels
+        r["y"] = np.array([float(i + 1)], np.float32)
+    g2 = preprocess_graphs(raws, cfg, cache_dir=str(tmp_path), name="lbl")
+    assert [float(g.y[0]) for g in g2] == [1.0, 2.0, 3.0, 4.0]
+    # size change under the same name -> reprocess, not a truncated zip
+    g3 = preprocess_graphs(raws[:2], cfg, cache_dir=str(tmp_path), name="lbl")
+    assert len(g3) == 2 and float(g3[1].y[0]) == 2.0

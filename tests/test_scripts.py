@@ -1,9 +1,22 @@
-"""Fast end-to-end smoke runs of the CLI entry points (tiny configs)."""
-import os
+"""Fast end-to-end smoke runs of ALL 11 CLI entry points (tiny configs).
 
+Mirrors the reference's script surface (train_ZINC/qm9/TU/EXP/CSL/SR/
+structure_counting/graph_property/node_property + run_simulation +
+run_*_search); every main() must run end-to-end on CPU fixtures."""
+import os
+import pickle
+
+import numpy as np
 import pytest
 
-DATA = "/root/reference/data"   # shipped raw files for EXP/SR25
+DATA = "/root/reference/data"   # shipped raw files for EXP/SR25 (read-only)
+
+
+def _linked_data(tmp_path, name):
+    """Symlink a shipped raw dataset into tmp so the prep cache lands in
+    tmp, never inside the read-only reference tree."""
+    (tmp_path / name).symlink_to(os.path.join(DATA, name))
+    return str(tmp_path)
 
 
 def test_counting_script(tmp_path):
@@ -19,7 +32,8 @@ def test_sr_script(tmp_path):
     from kpgnn_tpu.scripts.train_sr import main
     acc = main(["--num_epochs", "3", "--hidden_size", "16", "--K", "2",
                 "--num_layer", "1", "--max_hop_num", "2",
-                "--save_dir", str(tmp_path), "--dataset_dir", DATA])
+                "--save_dir", str(tmp_path),
+                "--dataset_dir", _linked_data(tmp_path, "sr25")])
     assert 0.0 <= acc <= 1.0
 
 
@@ -66,3 +80,117 @@ def test_tu_script_gin_format(tmp_path):
                 "--hidden_size", "16", "--num_layer", "1",
                 "--save_dir", str(tmp_path)])
     assert 0.0 <= acc <= 1.0
+
+
+def _write_zinc_fixture(root):
+    torch = pytest.importorskip("torch")
+    raw = root / "ZINC" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    mols = []
+    for i in range(8):
+        n = int(rng.integers(4, 8))
+        adj = np.zeros((n, n), np.int64)
+        for j in range(n - 1):
+            t = int(rng.integers(1, 4))
+            adj[j, j + 1] = adj[j + 1, j] = t
+        mols.append({
+            "atom_type": torch.tensor(rng.integers(0, 21, n)),
+            "bond_type": torch.tensor(adj),
+            "logP_SA_cycle_normalized": torch.tensor([float(i)]),
+        })
+    for split in ("train", "val", "test"):
+        with open(raw / f"{split}.pickle", "wb") as f:
+            pickle.dump(mols, f)
+    (raw / "train.index").write_text("0,2,4,6")
+
+
+def test_zinc_script(tmp_path):
+    _write_zinc_fixture(tmp_path)
+    from kpgnn_tpu.scripts.train_zinc import main
+    mae = main(["--num_epochs", "2", "--runs", "1", "--K", "2",
+                "--num_layer", "2", "--hidden_size", "16",
+                "--batch_size", "4", "--save_dir", str(tmp_path),
+                "--dataset_dir", str(tmp_path)])
+    assert np.isfinite(mae)
+
+
+def _write_qm9_fixture(root):
+    torch = pytest.importorskip("torch")
+    raw = root / "QM9" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    data_list = []
+    for _ in range(20):
+        n = int(rng.integers(3, 6))
+        ei = []
+        for j in range(n - 1):
+            ei += [(j, j + 1), (j + 1, j)]
+        ei = np.array(ei).T
+        e = ei.shape[1]
+        data_list.append({
+            "x": torch.tensor(rng.normal(size=(n, 11)).astype(np.float32)),
+            "z": torch.tensor(rng.integers(1, 10, n)),
+            "pos": torch.tensor(rng.normal(size=(n, 3)).astype(np.float32)),
+            "edge_index": torch.tensor(ei),
+            "edge_attr": torch.tensor(np.eye(4)[rng.integers(0, 4, e)]
+                                      .astype(np.float32)),
+            "y": torch.tensor(rng.normal(size=(1, 19)).astype(np.float32)),
+        })
+    torch.save(data_list, raw / "qm9_v3.pt")
+
+
+def test_qm9_script(tmp_path):
+    _write_qm9_fixture(tmp_path)
+    from kpgnn_tpu.scripts.train_qm9 import main
+    mae = main(["--num_epochs", "2", "--K", "2", "--num_layer", "2",
+                "--hidden_size", "16", "--batch_size", "4", "--task", "3",
+                "--save_dir", str(tmp_path), "--dataset_dir", str(tmp_path)])
+    assert np.isfinite(mae)
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="no shipped data")
+def test_exp_script(tmp_path):
+    from kpgnn_tpu.scripts.train_exp import main
+    acc = main(["--folds", "2", "--num_epochs", "1", "--K", "2",
+                "--num_layer", "1", "--hidden_size", "16",
+                "--max_hop_num", "2", "--save_dir", str(tmp_path),
+                "--dataset_dir", _linked_data(tmp_path, "EXP")])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_csl_script(tmp_path):
+    from kpgnn_tpu.scripts.train_csl import main
+    acc = main(["--num_epochs", "1", "--K", "2", "--num_layer", "1",
+                "--hidden_size", "16", "--max_hop_num", "2",
+                "--save_dir", str(tmp_path), "--dataset_dir", str(tmp_path)])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_graph_property_script(tmp_path):
+    from kpgnn_tpu.scripts.train_graph_property import main
+    score = main(["--data_scale", "0.02", "--num_epochs", "2", "--K", "2",
+                  "--num_layer", "2", "--hidden_size", "16",
+                  "--batch_size", "32", "--task", "1",
+                  "--save_dir", str(tmp_path), "--dataset_dir",
+                  str(tmp_path)])
+    assert np.isfinite(score)
+
+
+def test_node_property_script(tmp_path):
+    from kpgnn_tpu.scripts.train_node_property import main
+    score = main(["--data_scale", "0.02", "--num_epochs", "2", "--K", "2",
+                  "--num_layer", "2", "--hidden_size", "16",
+                  "--batch_size", "32", "--task", "0",
+                  "--save_dir", str(tmp_path), "--dataset_dir",
+                  str(tmp_path)])
+    assert np.isfinite(score)
+
+
+def test_search_script(tmp_path):
+    from kpgnn_tpu.scripts.run_search import main
+    res = main(["counting", "--grid", '{"K": [2]}',
+                "--base", f"--n_graphs 40 --num_epochs 1 --hidden_size 16 "
+                          f"--num_layer 2 --save_dir {tmp_path} "
+                          f"--dataset_dir {tmp_path}"])
+    assert len(res) == 1 and "metric" in res[0]
