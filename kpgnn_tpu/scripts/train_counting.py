@@ -20,9 +20,11 @@ from .common import (base_parser, loader_kwargs, model_config,
 def main(argv=None):
     p = base_parser("substructure counting", model_name="KPGINPlus", K=3,
                     hidden_size=96, num_layer=3, num_epochs=250,
-                    batch_size=64, kernel="gd", lr=1e-2, max_pe_num=50,
+                    batch_size=64, kernel="spd", JK="concat", lr=1e-2,
+                    max_pe_num=50,
                     max_hop_num=5, max_edge_type=1, max_edge_count=50,
-                    max_distance_count=100, patience=10, runs=1)
+                    max_distance_count=100, patience=10, runs=4,
+                    l2_wd=3e-7)
     p.add_argument("--task", type=int, default=0, choices=range(5))
     p.add_argument("--n_graphs", type=int, default=1500)
     args = p.parse_args(argv)

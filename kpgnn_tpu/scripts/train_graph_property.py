@@ -23,7 +23,8 @@ def main(argv=None):
                     hidden_size=96, num_layer=6, num_epochs=250,
                     batch_size=128, max_pe_num=50, max_hop_num=5,
                     max_edge_type=1, max_edge_count=50,
-                    max_distance_count=100, lr=1e-2, patience=10, runs=1)
+                    max_distance_count=100, lr=1e-2, patience=10, runs=4,
+                    l2_wd=3e-7)
     p.add_argument("--task", type=int, default=0, choices=range(3))
     p.add_argument("--data_scale", type=float, default=1.0,
                    help="shrink the generated splits (smoke runs)")

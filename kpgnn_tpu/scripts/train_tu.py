@@ -70,7 +70,7 @@ def main(argv=None):
                     hidden_size=32, num_layer=3, num_epochs=350,
                     batch_size=32, lr=1e-2, max_pe_num=30, max_hop_num=3,
                     max_edge_type=1, max_edge_count=10,
-                    max_distance_count=10, drop_prob=0.5)
+                    max_distance_count=10, drop_prob=0.5, l2_wd=3e-4)
     p.add_argument("--dataset_name", type=str, default="MUTAG")
     p.add_argument("--folds", type=int, default=10)
     args = p.parse_args(argv)

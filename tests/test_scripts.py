@@ -21,7 +21,7 @@ def _linked_data(tmp_path, name):
 
 def test_counting_script(tmp_path):
     from kpgnn_tpu.scripts.train_counting import main
-    mae = main(["--n_graphs", "60", "--num_epochs", "2", "--K", "2",
+    mae = main(["--runs", "1", "--n_graphs", "60", "--num_epochs", "2", "--K", "2",
                 "--hidden_size", "16", "--num_layer", "2",
                 "--save_dir", str(tmp_path), "--dataset_dir", str(tmp_path)])
     assert mae == mae  # finite, not NaN
@@ -169,7 +169,7 @@ def test_csl_script(tmp_path):
 
 def test_graph_property_script(tmp_path):
     from kpgnn_tpu.scripts.train_graph_property import main
-    score = main(["--data_scale", "0.02", "--num_epochs", "2", "--K", "2",
+    score = main(["--data_scale", "0.02", "--runs", "1", "--num_epochs", "2", "--K", "2",
                   "--num_layer", "2", "--hidden_size", "16",
                   "--batch_size", "32", "--task", "1",
                   "--save_dir", str(tmp_path), "--dataset_dir",
@@ -179,7 +179,7 @@ def test_graph_property_script(tmp_path):
 
 def test_node_property_script(tmp_path):
     from kpgnn_tpu.scripts.train_node_property import main
-    score = main(["--data_scale", "0.02", "--num_epochs", "2", "--K", "2",
+    score = main(["--data_scale", "0.02", "--runs", "1", "--num_epochs", "2", "--K", "2",
                   "--num_layer", "2", "--hidden_size", "16",
                   "--batch_size", "32", "--task", "0",
                   "--save_dir", str(tmp_path), "--dataset_dir",
