@@ -180,6 +180,20 @@ def main():
     except Exception:
         pass
 
+    # throughput-optimal batch: the per-step tunnel/dispatch latency
+    # amortizes over 4x the graphs (the reference's batch is a GPU-era
+    # protocol constant, not a TPU utilization point)
+    big = "n/a"
+    try:
+        from kpgnn_tpu.graph.batch import collate_dense
+        v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+        bb = [collate_dense(graphs, n_slot=N_SLOT, v1=v1, vk=vk,
+                            g_pad=4 * BATCH)]
+        be = [int((np.asarray(bb[0].adj.hop_attr) > 0).any(1).sum())]
+        big = round(_bench_backend(model, bb, be), 1)
+    except Exception as e:
+        big = f"error: {type(e).__name__}"[:60]
+
     peak = _measured_matmul_peak()
     flops = _step_flops(model, batched[headline_name][0])
     steps_per_s = headline / max(np.mean(edges), 1.0)
@@ -192,6 +206,7 @@ def main():
         "vs_baseline": round(headline / coo, 3) if coo else None,
         "baseline": "measured XLA-COO backend on identical batches",
         "backends": backends,
+        "dense_batch256_edges_per_s": big,
         "pallas_spmm_fwd_edges_per_s": spmm,
         "measured_matmul_peak_flops": round(peak, 1),
         "train_step_flops": round(flops, 1),

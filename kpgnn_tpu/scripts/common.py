@@ -89,6 +89,16 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
                         "families)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
+    p.add_argument("--matmul_precision", type=str,
+                   default=d.get("matmul_precision", "default"),
+                   choices=("default", "high", "highest"),
+                   help="XLA matmul precision. TPU matmuls round inputs "
+                        "to bf16 by default; the expressiveness oracles "
+                        "(SR25 especially — co-spectral graphs whose only "
+                        "distinguishing signal is peripheral structure) "
+                        "need 'highest' for f32-exact MXU passes, matching "
+                        "the reference's f32 CUDA. Big benchmarks keep the "
+                        "fast default.")
     p.add_argument("--parallel", nargs="?", const="data", default=None,
                    choices=("data", "node"),
                    help="parallelism over all visible devices: 'data' "
@@ -151,6 +161,10 @@ def run_name(args, dataset: str) -> str:
 
 
 def setup_run(args, dataset: str):
+    if getattr(args, "matmul_precision", "default") != "default":
+        import jax
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     name = run_name(args, dataset)
     save_dir = get_save_dir(args.save_dir, name)
     logger = get_logger(save_dir, name)

@@ -21,7 +21,8 @@ def main(argv=None):
                     hidden_size=48, num_layer=4, num_epochs=200,
                     batch_size=64, max_pe_num=1000, max_hop_num=4,
                     max_edge_type=1, max_edge_count=1000,
-                    max_distance_count=1000, patience=5, l2_wd=3e-6)
+                    max_distance_count=1000, patience=5, l2_wd=3e-6,
+                    matmul_precision="highest")
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, "CSL")
 

@@ -31,7 +31,8 @@ def main(argv=None):
                     hidden_size=48, num_layer=3, num_epochs=40,
                     batch_size=128, max_pe_num=1, max_edge_type=1,
                     max_edge_count=1000, max_hop_num=5,
-                    max_distance_count=1000, l2_wd=3e-7)
+                    max_distance_count=1000, l2_wd=3e-7,
+                    matmul_precision="highest")
     p.add_argument("--dataset_name", type=str, default="EXP",
                    choices=("EXP", "CEXP"))
     p.add_argument("--folds", type=int, default=10)

@@ -131,21 +131,34 @@ def make_eval_step(model, loss: str = "l1", node_level: bool = False,
 
 
 def train_epoch(train_step, state, loader, rng) -> tuple:
-    total, count = 0.0, 0.0
+    # Accumulate metrics as device arrays and materialize ONCE at epoch
+    # end: a per-step float() would block the host on every step's
+    # result, serializing batch transfer against device compute (on the
+    # remote-tunnel TPU that is the difference between a pipelined epoch
+    # and paying full RTT per step).  Async dispatch queues step N+1's
+    # transfer while step N computes.
+    losses, counts = [], []
     for batch in loader:
         rng, sub = jax.random.split(rng)
         state, m = train_step(state, batch, sub)
-        total += float(m["loss_sum"])
-        count += float(m["count"])
+        losses.append(m["loss_sum"])
+        counts.append(m["count"])
+    if not losses:
+        return state, 0.0
+    total = float(np.sum(np.asarray(jax.device_get(losses), np.float64)))
+    count = float(np.sum(np.asarray(jax.device_get(counts), np.float64)))
     return state, total / max(count, 1.0)
 
 
 def evaluate(eval_step, state, loader) -> Dict[str, float]:
-    sums: Dict[str, float] = {}
+    dev: Dict[str, list] = {}
     for batch in loader:
         m = eval_step(state, batch)
         for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + np.asarray(v).astype(np.float64)
+            dev.setdefault(k, []).append(v)
+    # one host sync for the whole eval pass
+    sums = {k: np.sum(np.asarray(jax.device_get(v), np.float64), axis=0)
+            for k, v in dev.items()}
     cnt = max(float(sums.get("count", 0.0)), 1.0)
     out = {"loss": float(sums.get("loss_sum", 0.0)) / cnt, "count": cnt}
     if "correct" in sums:
