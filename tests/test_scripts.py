@@ -189,6 +189,11 @@ def test_node_property_script(tmp_path):
 
 def test_search_script(tmp_path):
     from kpgnn_tpu.scripts.run_search import main
+    res = main(["--preset", "structure_counting", "--limit", "1",
+                "--base", f"--n_graphs 40 --runs 1 --num_epochs 1 "
+                          f"--hidden_size 16 --save_dir {tmp_path} "
+                          f"--dataset_dir {tmp_path}"])
+    assert len(res) == 1 and res[0]["script"] == "counting"
     res = main(["counting", "--grid", '{"K": [2]}',
                 "--base", f"--n_graphs 40 --num_epochs 1 --hidden_size 16 "
                           f"--num_layer 2 --save_dir {tmp_path} "
