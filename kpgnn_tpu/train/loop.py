@@ -130,6 +130,56 @@ def make_eval_step(model, loss: str = "l1", node_level: bool = False,
     return jax.jit(step)
 
 
+def device_prefetch(iterable, depth: int = 2):
+    """Move host->device batch transfer off the dispatch thread.
+
+    A helper thread jax.device_put's upcoming batches so the tunnel
+    write (~25 ms/MB on the remote-TPU link) overlaps both the python
+    dispatch loop and device compute.  Single-device streams only —
+    parallel modes reshard inside their shard_map steps.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    stop = object()
+    err: list = []
+
+    def producer():
+        try:
+            for b in iterable:
+                q.put(jax.device_put(b))
+        except BaseException as e:        # surface in the consumer
+            err.append(e)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is stop:
+            break
+        yield b
+    t.join()
+    if err:
+        raise err[0]
+
+
+class PrefetchLoader:
+    """Re-iterable device_prefetch wrapper around a loader."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __iter__(self):
+        return device_prefetch(iter(self.loader), self.depth)
+
+    def __len__(self):
+        return len(self.loader)
+
+
 def train_epoch(train_step, state, loader, rng) -> tuple:
     # Accumulate metrics as device arrays and materialize ONCE at epoch
     # end: a per-step float() would block the host on every step's
@@ -247,6 +297,7 @@ class Trainer:
             eval_step = make_eval_step(
                 self.model, self.loss, self.node_level,
                 self.eval_metric, self.bn_train_mode_eval)
+            wrap_eval_loader = PrefetchLoader
         if val_loader is not None:
             val_loader = wrap_eval_loader(val_loader)
         if test_loader is not None:
@@ -282,7 +333,7 @@ class Trainer:
                 from ..parallel.dp import shard_loader
                 stream = shard_loader(train_loader, n_dev)
             else:
-                stream = train_loader
+                stream = device_prefetch(iter(train_loader))
             state, train_loss = train_epoch(train_step, state, stream, sub)
             row = {"epoch": epoch, "train_loss": train_loss,
                    "lr": get_lr(state), "seconds": time.time() - t0}
