@@ -180,6 +180,49 @@ class PrefetchLoader:
         return len(self.loader)
 
 
+class DeviceCacheLoader:
+    """Eval loader that keeps its (deterministic) batches device-resident.
+
+    Val/test sets are re-iterated every epoch with identical batches;
+    re-shipping them over the host->device link each time costs ~25 ms/MB
+    on the tunnel-attached TPU.  First pass device_puts and records up to
+    `max_bytes` of batches; later passes replay from HBM.  Falls back to
+    plain prefetch beyond the cap.
+    """
+
+    def __init__(self, loader, max_bytes: int = 1 << 30, depth: int = 2):
+        self.loader = loader
+        self.max_bytes = max_bytes
+        self.depth = depth
+        self._cache = None
+
+    @staticmethod
+    def _nbytes(batch) -> int:
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves(batch)
+                   if hasattr(x, "nbytes"))
+
+    def __iter__(self):
+        if self._cache is not None:
+            return iter(self._cache)
+        return self._fill()
+
+    def _fill(self):
+        cache, used, overflow = [], 0, False
+        for b in device_prefetch(iter(self.loader), self.depth):
+            if not overflow:
+                used += self._nbytes(b)
+                if used <= self.max_bytes:
+                    cache.append(b)
+                else:
+                    cache, overflow = None, True
+            yield b
+        if not overflow:
+            self._cache = cache
+
+    def __len__(self):
+        return len(self.loader)
+
+
 def train_epoch(train_step, state, loader, rng) -> tuple:
     # Accumulate metrics as device arrays and materialize ONCE at epoch
     # end: a per-step float() would block the host on every step's
@@ -297,7 +340,7 @@ class Trainer:
             eval_step = make_eval_step(
                 self.model, self.loss, self.node_level,
                 self.eval_metric, self.bn_train_mode_eval)
-            wrap_eval_loader = PrefetchLoader
+            wrap_eval_loader = DeviceCacheLoader
         if val_loader is not None:
             val_loader = wrap_eval_loader(val_loader)
         if test_loader is not None:

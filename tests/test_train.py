@@ -235,3 +235,27 @@ def test_activation_capture(dataset, tmp_path):
     shapes = dump_activations(model, v, batch, str(tmp_path / "acts.npz"))
     assert os.path.exists(tmp_path / "acts.npz")
     assert len(shapes) == len(acts)
+
+
+def test_device_cache_loader(dataset):
+    from kpgnn_tpu.train import GraphLoader
+    from kpgnn_tpu.train.loop import DeviceCacheLoader
+
+    inner = GraphLoader(dataset[:20], batch_size=8)
+    counting = type("L", (), {
+        "passes": 0,
+        "__iter__": lambda s: (setattr(s, "passes", s.passes + 1),
+                               iter(inner))[1],
+        "__len__": lambda s: len(inner)})()
+    dl = DeviceCacheLoader(counting)
+    first = [np.asarray(b.x) for b in dl]
+    second = [np.asarray(b.x) for b in dl]
+    assert counting.passes == 1          # second pass replays from cache
+    assert len(first) == len(second)
+    for a, b in zip(first, second):
+        assert (a == b).all()
+    # a tiny cap falls back to re-iterating the inner loader
+    small = DeviceCacheLoader(counting, max_bytes=8)
+    list(small)
+    list(small)
+    assert counting.passes == 3
