@@ -259,3 +259,24 @@ def test_device_cache_loader(dataset):
     list(small)
     list(small)
     assert counting.passes == 3
+
+
+def test_evaluate_single_sync_aggregation(dataset):
+    """evaluate() must aggregate scalar and vector metrics across batches
+    identically to per-batch numpy accumulation (it now materializes
+    device results once per pass)."""
+    import jax.numpy as jnp
+    from kpgnn_tpu.train import GraphLoader
+    from kpgnn_tpu.train.loop import evaluate
+
+    loader = GraphLoader(dataset[:20], batch_size=8)
+
+    def fake_step(state, batch):
+        n = jnp.sum(batch.graph_mask)
+        return {"loss_sum": 2.0 * n, "count": n,
+                "abs_per_target": jnp.stack([n, 3.0 * n])}
+
+    out = evaluate(fake_step, None, loader)
+    assert out["count"] == 20.0
+    assert abs(out["loss"] - 2.0) < 1e-6
+    assert np.allclose(out["mae_per_target"], [1.0, 3.0])
