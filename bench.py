@@ -21,6 +21,7 @@ benchmark the host->device tunnel (~25 ms/MB), not the chip.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -29,7 +30,7 @@ import numpy as np
 
 K, L, HIDDEN, BATCH = 8, 8, 104, 64
 N_SLOT = 40          # dense mode slot size (ZINC graphs are <= 37 nodes)
-ITERS = 100
+ITERS = int(os.environ.get("BENCH_ITERS", "100"))   # small for CPU sanity
 
 
 def _model_and_graphs():
@@ -41,14 +42,16 @@ def _model_and_graphs():
                       max_hop_num=6, max_edge_type=3, max_edge_count=20,
                       max_distance_count=30)
     graphs = synthetic_molecules(4 * BATCH, kcfg, seed=0)
-    mcfg = ModelConfig(
+    mk = lambda dtype: ModelConfig(
         model_name="KPGINPlus", hidden_size=HIDDEN, num_layer=L, K=K,
         num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
         max_edge_count=20, max_hop_num=6, max_distance_count=30,
         JK="concat", combine="attention", residual=True,
         input_encoder=("embedding", 21),
-        task="graph_regression", pooling_method="sum")
-    return make_model(mcfg), mcfg, graphs
+        task="graph_regression", pooling_method="sum",
+        compute_dtype=dtype)
+    mcfg = mk("float32")
+    return make_model(mcfg), mcfg, graphs, make_model(mk("bfloat16"))
 
 
 def _collate_all(graphs, mcfg):
@@ -158,7 +161,7 @@ def _step_flops(model, batch):
 
 
 def main():
-    model, mcfg, graphs = _model_and_graphs()
+    model, mcfg, graphs, model_bf16 = _model_and_graphs()
     batched, edges = _collate_all(graphs, mcfg)
 
     backends = {}
@@ -168,8 +171,14 @@ def main():
                                                   edges), 1)
         except Exception as e:          # a backend must never sink the bench
             backends[name] = f"error: {type(e).__name__}: {e}"[:120]
+    try:                                # mixed precision on the fast path
+        backends["dense_bf16"] = round(
+            _bench_backend(model_bf16, batched["dense"], edges), 1)
+    except Exception as e:
+        backends["dense_bf16"] = f"error: {type(e).__name__}: {e}"[:120]
 
-    numeric = {k: v for k, v in backends.items() if isinstance(v, float)}
+    numeric = {k: v for k, v in backends.items()
+               if isinstance(v, float) and k != "dense_bf16"}
     headline_name = max(numeric, key=numeric.get)
     headline = numeric[headline_name]
     coo = numeric.get("coo", 0.0)

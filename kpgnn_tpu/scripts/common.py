@@ -79,6 +79,12 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--wo_path_encoding", action="store_true")
     p.add_argument("--wo_edge_feature", action="store_true")
     p.add_argument("--reprocess", action="store_true")
+    p.add_argument("--load_path", type=str, default=None,
+                   help="checkpoint to warm-start from (reference "
+                        "declares this flag but leaves it dead)")
+    p.add_argument("--save_checkpoints", action="store_true",
+                   help="write best-val checkpoints under "
+                        "save_dir/checkpoints")
     p.add_argument("--dense", action="store_true",
                    help="shorthand for --backend dense")
     p.add_argument("--backend", type=str, default="coo",
@@ -151,7 +157,8 @@ def train_config(args, loss: str, stop_at_min_lr: bool = False) -> TrainConfig:
         num_epochs=args.num_epochs, batch_size=args.batch_size,
         seed=args.seed, runs=args.runs, factor=args.factor,
         patience=args.patience, loss=loss, stop_at_min_lr=stop_at_min_lr,
-        save_dir=args.save_dir,
+        save_dir=args.save_dir, load_path=args.load_path,
+        save_checkpoints=args.save_checkpoints,
     )
 
 
@@ -167,9 +174,10 @@ def setup_run(args, dataset: str):
                           args.matmul_precision)
     name = run_name(args, dataset)
     save_dir = get_save_dir(args.save_dir, name)
-    logger = get_logger(save_dir, name)
-    logger.info(json.dumps(vars(args), indent=2, default=str))
-    return save_dir, logger
+    args.save_dir = save_dir       # downstream (checkpoints, dumps) write
+    logger = get_logger(save_dir, name)   # into the unique run dir, like
+    logger.info(json.dumps(vars(args), indent=2, default=str))  # reference
+    return save_dir, logger                       # train_ZINC.py:180-182
 
 
 def prepare(raw_graphs, args, cache_name: str):

@@ -27,3 +27,9 @@ class TrainConfig:
     stop_at_min_lr: bool = False
     drop_last: bool = False
     save_dir: Optional[str] = None
+    # warm-start: restore params/opt state from a checkpoint before
+    # training (reference declares --load_path on every script but never
+    # uses it, train_ZINC.py:114; here it is live)
+    load_path: Optional[str] = None
+    # write best-val checkpoints under save_dir/checkpoints
+    save_checkpoints: bool = False

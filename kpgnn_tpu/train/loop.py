@@ -309,6 +309,10 @@ class Trainer:
                    else next(iter(train_loader)))
         state, tx = create_train_state(
             self.model, example, init_rng, self.cfg.lr, self.cfg.l2_wd)
+        if self.cfg.load_path:
+            from .checkpoint import load_checkpoint
+            state, _ = load_checkpoint(self.cfg.load_path, state)
+            self.log(f"warm start from {self.cfg.load_path}")
         n_dev = (int(np.prod(self.mesh.devices.shape))
                  if self.mesh is not None else 1)
         wrap_eval_loader = lambda l: l
@@ -351,10 +355,14 @@ class Trainer:
             min_lr=self.cfg.min_lr, mode=sched_mode)
 
         saver = None
-        if self.checkpoint_dir is not None:
+        ckpt_dir = self.checkpoint_dir
+        if ckpt_dir is None and self.cfg.save_checkpoints and self.cfg.save_dir:
+            import os
+            ckpt_dir = os.path.join(self.cfg.save_dir, "checkpoints")
+        if ckpt_dir is not None:
             from .checkpoint import CheckpointSaver
             saver = CheckpointSaver(
-                self.checkpoint_dir, max_checkpoints=self.max_checkpoints,
+                ckpt_dir, max_checkpoints=self.max_checkpoints,
                 maximize_metric=self.metric_mode == "max",
                 logger=self.logger)
 

@@ -280,3 +280,33 @@ def test_evaluate_single_sync_aggregation(dataset):
     assert out["count"] == 20.0
     assert abs(out["loss"] - 2.0) < 1e-6
     assert np.allclose(out["mae_per_target"], [1.0, 3.0])
+
+
+def test_warm_start_from_checkpoint(dataset, tmp_path):
+    """cfg.save_checkpoints writes best-val checkpoints under
+    save_dir/checkpoints; cfg.load_path warm-starts a fresh Trainer (the
+    reference declares --load_path but never uses it)."""
+    import os
+    from kpgnn_tpu.train import GraphLoader, Trainer
+    from kpgnn_tpu.train.config import TrainConfig
+
+    model = make_model(model_cfg())
+    tl = GraphLoader(dataset[:24], batch_size=8, shuffle=True, seed=0)
+    vl = GraphLoader(dataset[:24], batch_size=8)
+    cfg = TrainConfig(lr=5e-3, num_epochs=5, batch_size=8,
+                      loss="cross_entropy",
+                      save_dir=str(tmp_path), save_checkpoints=True)
+    _, res = Trainer(model, cfg, loss="cross_entropy",
+                     metric_mode="max").fit(tl, vl,
+                                            rng=jax.random.PRNGKey(1))
+    best = os.path.join(str(tmp_path), "checkpoints", "best.ckpt")
+    assert os.path.exists(best)
+
+    warm_cfg = TrainConfig(lr=5e-3, num_epochs=1, batch_size=8,
+                           loss="cross_entropy", load_path=best)
+    _, warm = Trainer(model, warm_cfg, loss="cross_entropy",
+                      metric_mode="max").fit(tl, vl,
+                                             rng=jax.random.PRNGKey(2))
+    cold_first = res["history"][0]["train_loss"]
+    warm_first = warm["history"][0]["train_loss"]
+    assert warm_first < 0.7 * cold_first, (cold_first, warm_first)
