@@ -58,9 +58,16 @@ class HopCSR:
     senders2d: jnp.ndarray     # (E_pad/TILE_E, TILE_E) int32
     row_starts: jnp.ndarray    # (N, 1) int32 == indptr[:-1]
     row_ends: jnp.ndarray      # (N, 1) int32 == indptr[1:]
+    # per receiver tile: 128-aligned start of the sender-id window that
+    # covers every live edge of the tile.  Batches are graph-sorted and
+    # edges intra-graph, so the window is ~TILE_R + one graph instead of
+    # the whole node table — the gather one-hot contraction shrinks from
+    # (TILE_E, N) to (TILE_E, win_rows), cutting MXU work by N/win_rows.
+    win_lo: jnp.ndarray        # (n_tiles,) int32
     # static: a traced chunk bound would lower to Mosaic's serializing
     # while-loop (see _kernel)
     max_chunks: int = struct.field(pytree_node=False)
+    win_rows: int = struct.field(pytree_node=False)   # static window size
 
 
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
@@ -70,8 +77,8 @@ def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     return (codes[..., None] == iota).astype(jnp.float32)
 
 
-def _kernel(max_chunks, precision, col_off, indptr_ref, senders2d_hbm, x_ref,
-            starts_ref, ends_ref, out_ref, sbuf, sem):
+def _kernel(max_chunks, precision, win_rows, col_off, indptr_ref, wlo_ref,
+            senders2d_hbm, x_ref, starts_ref, ends_ref, out_ref, sbuf, sem):
     # CRITICAL Mosaic behavior (measured): a fori_loop with a *traced*
     # trip count lowers to a serializing while-loop at ~1 ms/iteration;
     # the same body under a static python loop with pl.when predication
@@ -81,9 +88,9 @@ def _kernel(max_chunks, precision, col_off, indptr_ref, senders2d_hbm, x_ref,
     r0 = i * TILE_R
     e_lo = indptr_ref[r0]              # multiple of TILE_E by construction
     e_hi = indptr_ref[r0 + TILE_R]
+    w_lo = pl.multiple_of(wlo_ref[i], 128)   # w_lo + win_rows <= N
     starts_col = starts_ref[...]                              # (TILE_R, 1)
     ends_col = ends_ref[...]                                  # (TILE_R, 1)
-    N = x_ref.shape[0]
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -97,17 +104,19 @@ def _kernel(max_chunks, precision, col_off, indptr_ref, senders2d_hbm, x_ref,
                 senders2d_hbm.at[pl.ds(row, 1), :], sbuf, sem)
             dma.start()
             dma.wait()
-            # sender gather as a one-hot matmul against the VMEM-resident
-            # node table (row-DMA loops and dynamic VMEM loads are
-            # latency-bound; this rides the MXU)
+            # sender gather as a one-hot matmul against this tile's
+            # window of the VMEM-resident node table (row-DMA loops and
+            # dynamic VMEM loads are latency-bound; this rides the MXU)
             # col_off shifts sender ids into this node-table shard's local
-            # row range; out-of-shard senders miss every iota column and
-            # contribute zero (that is the streaming fallback's masking)
-            codes_col = jnp.transpose(sbuf[...]) - col_off    # (TILE_E, 1)
+            # row range; senders outside [w_lo, w_lo + win_rows) miss
+            # every iota column and contribute zero (that is also the
+            # streaming fallback's masking and the null-padding path)
+            codes_col = (jnp.transpose(sbuf[...])
+                         - col_off - w_lo)                    # (TILE_E, 1)
             s_oh = (codes_col == jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_E, N), 1)).astype(jnp.float32)
+                jnp.int32, (TILE_E, win_rows), 1)).astype(jnp.float32)
             sx = jax.lax.dot_general(
-                s_oh, x_ref[...],
+                s_oh, x_ref[pl.ds(w_lo, win_rows), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32)           # (TILE_E, D)
@@ -146,10 +155,9 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     if D != D_in:
         x = jnp.pad(x, ((0, 0), (0, D - D_in)))
 
-    def call(x_shard, col_off):
-        ns = x_shard.shape[0]
+    def call(x_shard, col_off, wlo, win_rows):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(n // TILE_R,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),               # senders2d
@@ -164,20 +172,25 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
             ],
         )
         return pl.pallas_call(
-            functools.partial(_kernel, csr.max_chunks, precision, col_off),
+            functools.partial(_kernel, csr.max_chunks, precision,
+                              win_rows, col_off),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
             interpret=interpret,
-        )(csr.indptr, csr.senders2d, x_shard, csr.row_starts, csr.row_ends)
+        )(csr.indptr, wlo, csr.senders2d, x_shard,
+          csr.row_starts, csr.row_ends)
 
     if n * D * 4 <= VMEM_X_LIMIT:
-        out = call(x, 0)
+        out = call(x, 0, csr.win_lo, min(csr.win_rows, n))
     else:
         # streaming fallback: keep one node-table shard in VMEM at a time;
         # out-of-shard senders vanish from the one-hot, so the per-shard
-        # outputs just sum
+        # outputs just sum (windows disabled: window/shard intersection
+        # bookkeeping is not worth it on this slow path)
         rows = max(TILE_R, (VMEM_X_LIMIT // (D * 4)) // TILE_R * TILE_R)
-        out = sum(call(x[s:s + rows], s) for s in range(0, n, rows))
+        zero = jnp.zeros_like(csr.win_lo)
+        out = sum(call(x[s:s + rows], s, zero, min(rows, n - s))
+                  for s in range(0, n, rows))
     return out[:, :D_in] if D != D_in else out
 
 
@@ -200,11 +213,17 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     seg_senders: List[np.ndarray] = []
     seg_aux: List[List[np.ndarray]] = [[] for _ in aux]
     indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    # per-tile sender window (graph-sorted batches make these narrow)
+    wlo_raw = np.zeros(n_tiles, np.int64)
+    wspan = np.zeros(n_tiles, np.int64)
     pos = 0
     for t in range(n_tiles):
         lo = raw_indptr[t * tile_r]
         hi = raw_indptr[(t + 1) * tile_r]
         seg = senders[lo:hi]
+        if len(seg):
+            wlo_raw[t] = (int(seg.min()) // tile_r) * tile_r
+            wspan[t] = int(seg.max()) + 1 - wlo_raw[t]
         pad = (-len(seg)) % tile_e
         # per-row starts within this tile shift by the running offset
         for r in range(tile_r):
@@ -218,6 +237,10 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
                 seg_aux[j].append(np.full(pad, pv, a.dtype))
         pos += len(seg) + pad
     indptr[n_nodes] = pos
+    win_rows = int(min(n_nodes,
+                       max(tile_r, -(-int(wspan.max()) // tile_r) * tile_r)
+                       if n_tiles else tile_r))
+    win_lo = np.minimum(wlo_raw, n_nodes - win_rows)
     flat = (np.concatenate(seg_senders) if seg_senders
             else np.zeros(0, np.int64))
     flat_aux = [np.concatenate(s) if s else np.zeros(0, np.int64)
@@ -238,7 +261,9 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
                                .reshape(n_nodes, 1)),
         row_ends=jnp.asarray(indptr[1:].astype(np.int32)
                              .reshape(n_nodes, 1)),
+        win_lo=jnp.asarray(win_lo.astype(np.int32)),
         max_chunks=max(max_chunks, 1),
+        win_rows=win_rows,
     )
     if aux:
         return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]

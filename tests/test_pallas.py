@@ -224,3 +224,37 @@ def test_khop_spmm_grads():
     for a, b, name in zip(gp, gx, ["dx", "dt1", "dtk"]):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), \
             (name, np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_windowed_gather_on_graph_sorted_batch():
+    """Graph-sorted batches give narrow per-tile sender windows: win_rows
+    must shrink well below the node table and the result must still match
+    the oracle (senders outside a window vanish from the one-hot)."""
+    rng = np.random.default_rng(3)
+    n, gsize, K, D, V1, Vk = 1024, 32, 2, 8, 5, 7
+    senders, receivers = [], []
+    for g0 in range(0, n - gsize, gsize):          # intra-graph edges only
+        e = 40
+        senders.append(rng.integers(g0, g0 + gsize, e))
+        receivers.append(rng.integers(g0, g0 + gsize, e))
+    senders = np.concatenate(senders).astype(np.int32)
+    receivers = np.concatenate(receivers).astype(np.int32)
+    attr = rng.integers(0, Vk, size=(len(senders), K)).astype(np.int32)
+    attr[:, 0] = rng.integers(0, V1, len(senders))
+    x = rng.normal(size=(n, K, D)).astype(np.float32)
+    t1 = rng.normal(size=(V1, D)).astype(np.float32)
+    tk = rng.normal(size=(Vk, D)).astype(np.float32)
+
+    plan = build_plan(receivers, senders, attr, n, V1, Vk)
+    for k in range(K):
+        assert plan.fwd[k].win_rows <= 256, plan.fwd[k].win_rows
+        assert plan.bwd[k].win_rows <= 256
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    ref = oracle(senders, receivers, attr, x, t1, tk, n)
+    assert np.allclose(np.asarray(out), ref, atol=1e-4)
+
+    # gradients flow through the windowed transpose CSRs too
+    f = lambda x_: jnp.sum(khop_spmm(x_, jnp.asarray(t1),
+                                     jnp.asarray(tk), plan) ** 2)
+    g = jax.grad(f)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
