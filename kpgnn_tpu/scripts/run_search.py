@@ -46,7 +46,10 @@ def _presets() -> Dict[str, List]:
     presets["tu_search"] = [
         ("tu", ["--dataset_name", ds, "--model_name", m,
                 "--kernel", kern, "--K", str(k),
-                "--num_layer", str(nl), "--combine", comb])
+                "--num_layer", str(nl), "--combine", comb,
+                # hidden must divide by K; the reference switches 32 -> 33
+                # for K=3 (train_TU.py:395-398)
+                "--hidden_size", "33" if k == 3 else "32"])
         for ds in ("MUTAG", "DD", "PROTEINS", "PTC", "IMDBBINARY")
         for m in ("KPGCN", "KPGIN", "KPGraphSAGE")
         for kern, k, nl, comb in itertools.product(
