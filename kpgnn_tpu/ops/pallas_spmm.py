@@ -212,31 +212,36 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     n_tiles = n_nodes // tile_r
     seg_senders: List[np.ndarray] = []
     seg_aux: List[List[np.ndarray]] = [[] for _ in aux]
+    # vectorized tile bookkeeping (this runs per batch per hop per
+    # direction — python-per-row loops were the collate hot spot)
+    tile_lo = raw_indptr[:-1:tile_r]                        # (n_tiles,)
+    tile_hi = raw_indptr[tile_r::tile_r]                    # (n_tiles,)
+    seg_len = tile_hi - tile_lo
+    pad_len = (-seg_len) % tile_e
+    starts_padded = np.zeros(n_tiles, np.int64)
+    if n_tiles:
+        starts_padded[1:] = np.cumsum(seg_len + pad_len)[:-1]
     indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    shift = (starts_padded - tile_lo)                       # per tile
+    indptr[:n_nodes] = raw_indptr[:n_nodes] + np.repeat(shift, tile_r)
+    pos = int((seg_len + pad_len).sum())
+    indptr[n_nodes] = pos
     # per-tile sender window (graph-sorted batches make these narrow)
     wlo_raw = np.zeros(n_tiles, np.int64)
     wspan = np.zeros(n_tiles, np.int64)
-    pos = 0
     for t in range(n_tiles):
-        lo = raw_indptr[t * tile_r]
-        hi = raw_indptr[(t + 1) * tile_r]
-        seg = senders[lo:hi]
+        seg = senders[tile_lo[t]:tile_hi[t]]
         if len(seg):
             wlo_raw[t] = (int(seg.min()) // tile_r) * tile_r
             wspan[t] = int(seg.max()) + 1 - wlo_raw[t]
-        pad = (-len(seg)) % tile_e
-        # per-row starts within this tile shift by the running offset
-        for r in range(tile_r):
-            indptr[t * tile_r + r] = pos + (raw_indptr[t * tile_r + r] - lo)
         seg_senders.append(seg)
-        if pad:
-            seg_senders.append(np.full(pad, n_nodes - 1, senders.dtype))
+        if pad_len[t]:
+            seg_senders.append(np.full(pad_len[t], n_nodes - 1,
+                                       senders.dtype))
         for j, (a, pv) in enumerate(aux):
-            seg_aux[j].append(a[lo:hi])
-            if pad:
-                seg_aux[j].append(np.full(pad, pv, a.dtype))
-        pos += len(seg) + pad
-    indptr[n_nodes] = pos
+            seg_aux[j].append(a[tile_lo[t]:tile_hi[t]])
+            if pad_len[t]:
+                seg_aux[j].append(np.full(pad_len[t], pv, a.dtype))
     win_rows = int(min(n_nodes,
                        max(tile_r, -(-int(wspan.max()) // tile_r) * tile_r)
                        if n_tiles else tile_r))
