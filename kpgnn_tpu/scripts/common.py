@@ -85,6 +85,9 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--save_checkpoints", action="store_true",
                    help="write best-val checkpoints under "
                         "save_dir/checkpoints")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="dump a jax profiler trace of epoch 1 here "
+                        "(TensorBoard/Perfetto)")
     p.add_argument("--dense", action="store_true",
                    help="shorthand for --backend dense")
     p.add_argument("--backend", type=str, default="coo",
@@ -159,6 +162,7 @@ def train_config(args, loss: str, stop_at_min_lr: bool = False) -> TrainConfig:
         patience=args.patience, loss=loss, stop_at_min_lr=stop_at_min_lr,
         save_dir=args.save_dir, load_path=args.load_path,
         save_checkpoints=args.save_checkpoints,
+        profile_dir=args.profile_dir,
     )
 
 

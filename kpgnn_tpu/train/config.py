@@ -33,3 +33,6 @@ class TrainConfig:
     load_path: Optional[str] = None
     # write best-val checkpoints under save_dir/checkpoints
     save_checkpoints: bool = False
+    # jax profiler trace of epoch 1 (epoch 0 is compile-dominated),
+    # viewable in TensorBoard/Perfetto
+    profile_dir: Optional[str] = None

@@ -385,7 +385,16 @@ class Trainer:
                 stream = shard_loader(train_loader, n_dev)
             else:
                 stream = device_prefetch(iter(train_loader))
-            state, train_loss = train_epoch(train_step, state, stream, sub)
+            if self.cfg.profile_dir and epoch == 1:
+                from ..utils.profiling import trace
+                with trace(self.cfg.profile_dir):
+                    state, train_loss = train_epoch(train_step, state,
+                                                    stream, sub)
+                self.log(f"profiler trace of epoch 1 -> "
+                         f"{self.cfg.profile_dir}")
+            else:
+                state, train_loss = train_epoch(train_step, state, stream,
+                                                sub)
             row = {"epoch": epoch, "train_loss": train_loss,
                    "lr": get_lr(state), "seconds": time.time() - t0}
             if val_loader is not None:
