@@ -179,6 +179,13 @@ def main():
 
     numeric = {k: v for k, v in backends.items()
                if isinstance(v, float) and k != "dense_bf16"}
+    if not numeric:                     # every backend errored: still emit
+        print(json.dumps({              # the one promised JSON line
+            "metric": "khop_train_edges_per_s_per_chip",
+            "value": 0.0, "unit": "edges/s", "vs_baseline": None,
+            "backends": backends,
+        }))
+        return
     headline_name = max(numeric, key=numeric.get)
     headline = numeric[headline_name]
     coo = numeric.get("coo", 0.0)

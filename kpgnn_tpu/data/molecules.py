@@ -77,18 +77,20 @@ def load_zinc(root: str, subset: bool = True,
     return out
 
 
-def load_qm9(root: str, targets_raw_order: bool = True) -> List[dict]:
+def load_qm9(root: str, targets_raw_order: bool = False) -> List[dict]:
     """Returns raw graph dicts with x (11 continuous features), z (atom
     codes), pos, edge_attr (bond type + 2), y (19 targets in reference
     ordering and units).
 
-    ``targets_raw_order=True`` (default) treats the dump's y rows as the
-    raw gdb9 CSV ordering/units and applies `qm9_reorder_and_convert`, so
-    task indices match the reference protocol
-    (reference: datasets/QM9Dataset.py:222-223).  Pass False if the dump's
-    targets are already in the processed ordering (PyG's official
-    qm9_v3.pt ships pre-reordered/converted y — applying the transform
-    twice would double-convert)."""
+    ``targets_raw_order=False`` (default) loads the dump's y untouched:
+    PyG's official qm9_v3.pt ships y already reordered [3:]+[:3] and
+    unit-converted, and the reference's non-rdkit branch loads it as-is
+    (reference: datasets/QM9Dataset.py:197-211) — re-applying the
+    transform would double-convert Hartree->eV and map task indices to
+    the wrong physical target.  Pass True only for a dump whose y rows
+    are still in raw gdb9 CSV order/units; then
+    `qm9_reorder_and_convert` is applied so task indices match the
+    reference protocol (reference: datasets/QM9Dataset.py:222-223)."""
     import torch  # cpu build, used only to read the tensor dump
 
     path = os.path.join(root, "raw", "qm9_v3.pt")

@@ -53,8 +53,9 @@ class ShardedCOOAdj:
     n_local: int = struct.field(pytree_node=False)
     n_shards: int = struct.field(pytree_node=False)
     axis: str = struct.field(pytree_node=False)
-    # static accounting: per-pair boundary sizes (row-major (i, j): rows j
-    # needs from i), before padding to the common halo width B
+    # static accounting: per-pair boundary sizes (row-major (i, j): rows
+    # receiver shard i needs FROM owner shard j, i.e. len(uniq[i][j]) in
+    # partition_adj), before padding to the common halo width B
     boundary: Tuple[int, ...] = struct.field(pytree_node=False, default=())
 
     @property

@@ -104,33 +104,68 @@ def make_global_super_batch(local_batches: List[GraphBatch],
     return jax.tree.map(lift, stacked)
 
 
-def host_shard_loader(loader: Iterable[GraphBatch], mesh: Mesh
+def lockstep_group_count(n_items_global: int, batch_size: int,
+                         mesh: Mesh) -> int:
+    """The number of global super-batches EVERY host must step through so
+    the collective step loop stays in lockstep.  host_shard gives host 0
+    the largest shard (ceil(n/P)); its group count is the max over hosts,
+    so shorter hosts pad whole masked groups up to this value."""
+    n_hosts = mesh.devices.shape[0]
+    n_local = mesh.local_mesh.size
+    largest_shard = -(-n_items_global // n_hosts)
+    n_batches = -(-largest_shard // batch_size)
+    return -(-n_batches // n_local)
+
+
+def host_shard_loader(loader: Iterable[GraphBatch], mesh: Mesh,
+                      n_groups: Optional[int] = None
                       ) -> Iterator[GraphBatch]:
     """Group this host's batch stream into global super-batches over the
     (dcn, data) mesh.  Each host iterates its own `host_shard`-split
-    loader; a trailing partial group pads with masked-empty batches so
-    the global step count stays in lockstep across hosts only if every
-    host sees the same number of groups — callers should size shards
-    equally (host_shard guarantees ±1; the +1 host pads one extra
-    masked group, which contributes zero)."""
+    loader; a trailing partial group pads with masked-empty batches.
+
+    Hosts whose shards are one item shorter (host_shard guarantees ±1)
+    can see one FEWER group than host 0, which would desynchronize the
+    collective step loop (the long host blocks in a psum the short host
+    never joins).  Pass `n_groups = lockstep_group_count(...)` on real
+    multi-host runs: this host then pads extra whole masked groups (zero
+    contribution) until every host has yielded exactly `n_groups`."""
     n_local = mesh.local_mesh.size
     buf: List[GraphBatch] = []
+    last: Optional[GraphBatch] = None
+    yielded = 0
     for b in loader:
+        last = b
         buf.append(b)
         if len(buf) == n_local:
             yield make_global_super_batch(buf, mesh)
+            yielded += 1
             buf = []
     if buf:
         pad = mask_empty_batch(buf[-1])
         buf.extend([pad] * (n_local - len(buf)))
         yield make_global_super_batch(buf, mesh)
+        yielded += 1
+    if n_groups is not None:
+        if yielded > n_groups:
+            raise ValueError(
+                f"host produced {yielded} groups > lockstep n_groups="
+                f"{n_groups}; recompute lockstep_group_count from the "
+                "global dataset size")
+        if yielded < n_groups and last is None:
+            raise ValueError("empty host shard: cannot build masked "
+                             "padding groups without a template batch")
+        while yielded < n_groups:
+            pad = mask_empty_batch(last)
+            yield make_global_super_batch([pad] * n_local, mesh)
+            yielded += 1
 
 
 class MultiHostShardStream:
     """Re-iterable view for Trainer eval loops (mirrors dp.ShardStream)."""
 
-    def __init__(self, loader, mesh: Mesh):
-        self.loader, self.mesh = loader, mesh
+    def __init__(self, loader, mesh: Mesh, n_groups: Optional[int] = None):
+        self.loader, self.mesh, self.n_groups = loader, mesh, n_groups
 
     def __iter__(self):
-        return host_shard_loader(self.loader, self.mesh)
+        return host_shard_loader(self.loader, self.mesh, self.n_groups)

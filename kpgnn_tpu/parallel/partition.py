@@ -88,7 +88,10 @@ def partition_adj(adj: COOAdj, n_shards: int,
     halo = max(1, max((len(u) for row in uniq for u in row), default=1))
 
     S = np.zeros((n_shards, e_shard), np.int32)
-    R = np.zeros((n_shards, e_shard), np.int32)
+    # pad receivers with the LAST local slot, not 0: real receivers are
+    # sorted ascending and downstream segment ops promise
+    # indices_are_sorted=True — a 0 after real indices breaks that
+    R = np.full((n_shards, e_shard), n_local - 1, np.int32)
     A = np.zeros((n_shards, e_shard, K), np.int32)
     M = np.zeros((n_shards, e_shard), bool)
     send_rows = np.zeros((n_shards, n_shards, halo), np.int32)
@@ -162,7 +165,12 @@ def make_sharded_train_step(model, tx, mesh: Mesh, loss: str = "l1",
     """
 
     def per_device(state: TrainState, batch: GraphBatch, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        # The dropout rng stays REPLICATED (no axis_index fold): graph-
+        # level values (virtual-node state, pooled readouts) are
+        # replicated across node shards, and a device-varying rng would
+        # de-replicate them through dropout, tripping check_vma.  Cost:
+        # masks repeat across shards at equal local positions — dropout
+        # stays unbiased, just correlated across the node partition.
 
         def loss_fn(params):
             variables = {"params": params}

@@ -36,10 +36,14 @@ def main(argv=None):
     # (reference: train_qm9.py:61-70,185-187)
     p.add_argument("--convert", type=str, default="post",
                    choices=("pre", "post"))
+    # PyG's qm9_v3.pt ships y already reordered/converted (the default);
+    # set this only for a dump still in raw gdb9 CSV order/units
+    p.add_argument("--qm9_raw_targets", action="store_true")
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"QM9t{args.task}")
 
-    raw = load_qm9(os.path.join(args.dataset_dir, "QM9"))
+    raw = load_qm9(os.path.join(args.dataset_dir, "QM9"),
+                   targets_raw_order=args.qm9_raw_targets)
     graphs = prepare(raw, args, "QM9")
 
     t = args.task

@@ -27,6 +27,52 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def background_iter(factory, maxsize: int = 2):
+    """Run `factory()` (an iterator) on a daemon thread; yield its items
+    through a bounded queue.
+
+    Abandoning the returned generator (GeneratorExit, consumer exception,
+    KeyboardInterrupt mid-epoch) cancels the producer promptly: puts are
+    timed and observe a cancel event set in the generator's finally, so
+    neither the thread nor its queued items outlive the consumer — the
+    blocked-forever-on-put leak a plain q.put producer has."""
+    q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+    SENTINEL = object()
+    cancel = threading.Event()
+
+    def put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def producer():
+        try:
+            for item in factory():
+                if not put(item):
+                    return
+            put(SENTINEL)
+        except BaseException as e:      # surface in the consumer
+            put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        cancel.set()
+
+
 class GraphLoader:
     """mode="coo" for general graphs; mode="dense" routes small graphs
     (n <= n_slot) through the MXU matmul backend — v1/vk must then match
@@ -124,24 +170,9 @@ class GraphLoader:
         bs = self.batch_size
         n_batches = len(self)
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
-        SENTINEL = object()
+        def batches():
+            for i in range(n_batches):
+                idx = order[i * bs:(i + 1) * bs]
+                yield self._collate([self.graphs[j] for j in idx])
 
-        def producer():
-            try:
-                for i in range(n_batches):
-                    idx = order[i * bs:(i + 1) * bs]
-                    q.put(self._collate([self.graphs[j] for j in idx]))
-                q.put(SENTINEL)
-            except BaseException as e:   # surface collate errors to consumer
-                q.put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from background_iter(batches, maxsize=2)

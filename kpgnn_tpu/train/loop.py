@@ -136,48 +136,14 @@ def device_prefetch(iterable, depth: int = 2):
     A helper thread jax.device_put's upcoming batches so the tunnel
     write (~25 ms/MB on the remote-TPU link) overlaps both the python
     dispatch loop and device compute.  Single-device streams only —
-    parallel modes reshard inside their shard_map steps.
+    parallel modes reshard inside their shard_map steps.  Cancellation-
+    safe via background_iter: abandoning the generator (interrupt, step
+    error) stops the thread instead of stranding it and its HBM batches.
     """
-    import queue as _queue
-    import threading
+    from .loader import background_iter
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-    stop = object()
-    err: list = []
-
-    def producer():
-        try:
-            for b in iterable:
-                q.put(jax.device_put(b))
-        except BaseException as e:        # surface in the consumer
-            err.append(e)
-        finally:
-            q.put(stop)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        b = q.get()
-        if b is stop:
-            break
-        yield b
-    t.join()
-    if err:
-        raise err[0]
-
-
-class PrefetchLoader:
-    """Re-iterable device_prefetch wrapper around a loader."""
-
-    def __init__(self, loader, depth: int = 2):
-        self.loader = loader
-        self.depth = depth
-
-    def __iter__(self):
-        return device_prefetch(iter(self.loader), self.depth)
-
-    def __len__(self):
-        return len(self.loader)
+    return background_iter(
+        lambda: (jax.device_put(b) for b in iterable), maxsize=depth)
 
 
 class DeviceCacheLoader:
@@ -385,12 +351,15 @@ class Trainer:
                 stream = shard_loader(train_loader, n_dev)
             else:
                 stream = device_prefetch(iter(train_loader))
-            if self.cfg.profile_dir and epoch == 1:
+            # trace the second epoch (past compile); first if there is
+            # only one, so --num_epochs 1 still produces a trace
+            profile_epoch = 1 if self.cfg.num_epochs > 1 else 0
+            if self.cfg.profile_dir and epoch == profile_epoch:
                 from ..utils.profiling import trace
                 with trace(self.cfg.profile_dir):
                     state, train_loss = train_epoch(train_step, state,
                                                     stream, sub)
-                self.log(f"profiler trace of epoch 1 -> "
+                self.log(f"profiler trace of epoch {epoch} -> "
                          f"{self.cfg.profile_dir}")
             else:
                 state, train_loss = train_epoch(train_step, state, stream,

@@ -71,20 +71,22 @@ def test_qm9_loader(tmp_path):
     assert g["y"].shape == (19,)
     assert g["z"].dtype == np.int64 and g["pos"].shape[1] == 3
 
-    # reference target protocol: y column i == reorder([3:] + [:3]) of the
-    # raw row, scaled by the per-target unit conversion indexed in the NEW
-    # order (reference: datasets/QM9Dataset.py:20-26,222-223)
-    from kpgnn_tpu.data.molecules import QM9_CONVERSION
+    # default: qm9_v3.pt ships y already reordered/converted and the
+    # reference's non-rdkit branch loads it untouched
+    # (reference: datasets/QM9Dataset.py:197-211) — no double transform
     raw_y = data_list[0]["y"].numpy().reshape(-1)[:19].astype(np.float64)
-    expect = np.concatenate([raw_y[3:], raw_y[:3]]) * QM9_CONVERSION
-    np.testing.assert_allclose(g["y"], expect.astype(np.float32), rtol=1e-6)
-    for i in (0, 5, 16):
-        assert g["y"][i] == np.float32(expect[i])
+    np.testing.assert_allclose(g["y"], raw_y.astype(np.float32), rtol=1e-6)
 
-    # already-processed dumps must load untouched
-    raw_graphs = load_qm9(str(tmp_path), targets_raw_order=False)
-    np.testing.assert_allclose(raw_graphs[0]["y"],
-                               raw_y.astype(np.float32), rtol=1e-6)
+    # raw-order dumps: y column i == reorder([3:] + [:3]) of the raw row,
+    # scaled by the per-target unit conversion indexed in the NEW order
+    # (reference: datasets/QM9Dataset.py:20-26,222-223)
+    from kpgnn_tpu.data.molecules import QM9_CONVERSION
+    conv = load_qm9(str(tmp_path), targets_raw_order=True)
+    expect = np.concatenate([raw_y[3:], raw_y[:3]]) * QM9_CONVERSION
+    np.testing.assert_allclose(conv[0]["y"], expect.astype(np.float32),
+                               rtol=1e-6)
+    for i in (0, 5, 16):
+        assert conv[0]["y"][i] == np.float32(expect[i])
 
 
 def test_missing_files_raise(tmp_path):

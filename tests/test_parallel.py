@@ -198,6 +198,25 @@ def test_sharded_train_step_matches_single_device():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2.1e-2)
 
 
+def test_sharded_train_step_dropout_virtual_node():
+    """Dropout + virtual node under node sharding: the dropout rng must
+    stay replicated or the (replicated) vn state diverges across shards
+    and shard_map's check_vma rejects the trace."""
+    from kpgnn_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                    partition_batch)
+    graphs = toy_graphs(16)
+    import dataclasses
+    c = dataclasses.replace(cfg(), virtual_node=True, drop_prob=0.5)
+    model = make_model(c)
+    big = collate(graphs, n_pad=256, e_pad=512, g_pad=17)
+    state, tx = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    mesh = make_mesh(4, axis_names=("node",))
+    step = make_sharded_train_step(model, tx, mesh, loss="mse")
+    s2, m2 = step(state, partition_batch(big, 4), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss_sum"]))
+    assert float(m2["count"]) == 16.0
+
+
 def test_sharded_eval_step_matches_single_device():
     from kpgnn_tpu.parallel import (make_mesh, make_sharded_eval_step,
                                     partition_batch)
@@ -333,3 +352,35 @@ def test_host_shard_loader_covers_every_graph():
         assert gb.graph_mask.shape[0] == mesh.local_mesh.size
         seen += float(np.asarray(gb.graph_mask).sum())
     assert seen == 11.0
+
+
+def test_host_shard_loader_lockstep_groups():
+    """A short host must pad whole masked groups up to the lockstep count
+    so every host joins the same number of collective steps."""
+    from kpgnn_tpu.parallel.multihost import (dcn_mesh, host_shard,
+                                              host_shard_loader,
+                                              lockstep_group_count)
+
+    graphs = toy_graphs(17, seed=9)
+    # single-process simulation: all 8 devices are local, so groups hold
+    # 8 batches; host 0's shard has 9 batches -> 2 groups, host 1's 8 -> 1
+    mesh = dcn_mesh(n_hosts=2)
+    n_groups = lockstep_group_count(len(graphs), batch_size=1, mesh=mesh)
+    assert n_groups == 2
+
+    counts, live = [], []
+    for pi in range(2):
+        shard = host_shard(graphs, pi, 2)
+        batches = [collate([g], n_pad=32, e_pad=64, g_pad=2) for g in shard]
+        groups = list(host_shard_loader(batches, mesh, n_groups=n_groups))
+        counts.append(len(groups))
+        live.append(sum(float(np.asarray(gb.graph_mask).sum())
+                        for gb in groups))
+    assert counts == [n_groups, n_groups]   # lockstep, no desync
+    assert sum(live) == 17.0                # padding contributes nothing
+
+    # producing more groups than the lockstep count is a caller error
+    shard0 = [collate([g], n_pad=32, e_pad=64, g_pad=2)
+              for g in host_shard(graphs, 0, 2)]
+    with pytest.raises(ValueError):
+        list(host_shard_loader(shard0, mesh, n_groups=1))
