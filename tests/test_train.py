@@ -310,3 +310,58 @@ def test_warm_start_from_checkpoint(dataset, tmp_path):
     cold_first = res["history"][0]["train_loss"]
     warm_first = warm["history"][0]["train_loss"]
     assert warm_first < 0.7 * cold_first, (cold_first, warm_first)
+
+
+def test_trace_summary(tmp_path):
+    """trace_summary parses a chrome trace and ranks ops; end-to-end via
+    the real profiler when it produces a trace, else a synthetic file."""
+    import gzip
+    import json
+
+    from kpgnn_tpu.utils import trace_summary as ts
+
+    # synthetic trace: ranking, suffix-collapsing, host/device split
+    trace = {"traceEvents": [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 0, "dur": 100,
+         "name": "fusion.1"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 100, "dur": 300,
+         "name": "fusion.2"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 400, "dur": 50,
+         "name": "copy.3"},
+        {"ph": "X", "pid": 2, "tid": 1, "ts": 0, "dur": 9999,
+         "name": "python_overhead"},
+    ]}
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    assert ts.find_trace(str(tmp_path)).endswith("vm.trace.json.gz")
+    tracks = ts.summarize(ts.load_events(ts.find_trace(str(tmp_path))))
+    assert tracks["/device:TPU:0"]["total_us"] == 450
+    top = ts.top_ops(tracks, device_only=True, n=5)
+    assert top[0] == ("fusion", 400.0, 400.0 / 450.0)   # suffixes merged
+    assert all(op != "python_overhead" for op, _, _ in top)
+    rep = ts.report(str(tmp_path), n=5)
+    assert "fusion" in rep and "track /device:TPU:0" in rep
+
+    # end-to-end: profile a jitted fn, summarize whatever was captured
+    import jax
+    import jax.numpy as jnp
+
+    from kpgnn_tpu.utils.profiling import trace as jtrace
+
+    prof_dir = tmp_path / "prof"
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    with jtrace(str(prof_dir)):
+        jax.block_until_ready(f(x))
+    try:
+        rep2 = ts.report(str(prof_dir), n=10)
+    except FileNotFoundError:
+        return  # profiler produced no trace on this backend; fine
+    assert "track" in rep2
