@@ -129,3 +129,34 @@ def qm9_reorder_and_convert(target: np.ndarray) -> np.ndarray:
     (reference: datasets/QM9Dataset.py:20-26,222-223)."""
     t = np.concatenate([target[3:], target[:3]])
     return t * QM9_CONVERSION
+
+
+# Per-atom reference energies (eV) for thermochemical targets, indexed
+# by target id in the processed ordering; rows are atom types H/C/N/O/F
+# (reference: datasets/QM9Dataset.py:28-47 — dataset API only, no
+# training script consumes it there either).
+QM9_ATOMREFS = {
+    6: [0.0, 0.0, 0.0, 0.0, 0.0],
+    7: [-13.61312172, -1029.86312267, -1485.30251237, -2042.61123593,
+        -2713.48485589],
+    8: [-13.5745904, -1029.82456413, -1485.26398105, -2042.5727046,
+        -2713.44632457],
+    9: [-13.54887564, -1029.79887659, -1485.2382935, -2042.54701705,
+        -2713.42063702],
+    10: [-13.90303183, -1030.25891228, -1485.71166277, -2043.01812778,
+         -2713.88796536],
+    11: [0.0, 0.0, 0.0, 0.0, 0.0],
+}
+
+
+def qm9_atomref(target: int):
+    """(100, 1) per-atomic-number reference values for `target`, or None
+    when the target has no atomref — same contract as the reference's
+    QM9.atomref (datasets/QM9Dataset.py:152-157).  Subtracting
+    `atomref[z].sum()` per molecule converts total energies to
+    atomization energies."""
+    if target not in QM9_ATOMREFS:
+        return None
+    out = np.zeros((100, 1), np.float32)
+    out[[1, 6, 7, 8, 9], 0] = QM9_ATOMREFS[target]
+    return out

@@ -94,3 +94,21 @@ def test_missing_files_raise(tmp_path):
         load_zinc(str(tmp_path))
     with pytest.raises(FileNotFoundError):
         load_qm9(str(tmp_path))
+
+
+def test_qm9_atomref():
+    """Same contract as the reference's QM9.atomref
+    (reference: datasets/QM9Dataset.py:152-157)."""
+    from kpgnn_tpu.data.molecules import QM9_ATOMREFS, qm9_atomref
+
+    assert qm9_atomref(0) is None and qm9_atomref(12) is None
+    for t in (6, 7, 8, 9, 10, 11):
+        ref = qm9_atomref(t)
+        assert ref.shape == (100, 1)
+        np.testing.assert_allclose(ref[[1, 6, 7, 8, 9], 0],
+                                   QM9_ATOMREFS[t], rtol=1e-7)
+        assert ref[0, 0] == 0.0 and ref[2, 0] == 0.0
+    # U0 (target 7): H2O atomization sanity — total minus per-atom refs
+    # is a small molecular residual, not thousands of eV
+    z = np.array([1, 1, 8])
+    assert abs(-2080.0 - qm9_atomref(7)[z].sum()) < 30.0
