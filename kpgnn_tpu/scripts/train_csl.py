@@ -23,6 +23,9 @@ def main(argv=None):
                     max_edge_type=1, max_edge_count=1000,
                     max_distance_count=1000, patience=5, l2_wd=3e-6,
                     matmul_precision="highest")
+    # the reference hardcodes 10 folds (train_CSL.py); default matches,
+    # fewer folds are for smoke tests / quick probes
+    p.add_argument("--folds", type=int, default=10)
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, "CSL")
 
@@ -39,7 +42,8 @@ def main(argv=None):
 
     accs = []
     for fold, (tr, va, te) in enumerate(
-            k_fold(len(graphs), labels, folds=10, seed=args.seed)):
+            k_fold(len(graphs), labels, folds=args.folds,
+                   seed=args.seed)):
         tl = GraphLoader([graphs[i] for i in tr], args.batch_size,
                          shuffle=True, seed=args.seed + fold, **lk)
         vl = GraphLoader([graphs[i] for i in va], args.batch_size, **lk)

@@ -27,6 +27,10 @@ def k_fold(n: int, labels: Sequence, folds: int = 10, seed: int = 12345
            ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Returns [(train_idx, val_idx, test_idx)] per fold; val = previous
     fold's test (reference: train_utils.py:323-338)."""
+    if folds < 3:
+        raise ValueError(f"k_fold needs folds >= 3: val is the previous "
+                         f"fold's test, so folds={folds} leaves no "
+                         "training data")
     labels = np.asarray(labels)
     assign = _stratified_folds(labels, folds, seed)
     test_sets = [np.flatnonzero(assign == f) for f in range(folds)]

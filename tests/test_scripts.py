@@ -162,7 +162,7 @@ def test_exp_script(tmp_path):
 def test_csl_script(tmp_path):
     from kpgnn_tpu.scripts.train_csl import main
     acc = main(["--num_epochs", "1", "--K", "2", "--num_layer", "1",
-                "--hidden_size", "16", "--max_hop_num", "2",
+                "--hidden_size", "16", "--max_hop_num", "2", "--folds", "3",
                 "--save_dir", str(tmp_path), "--dataset_dir", str(tmp_path)])
     assert 0.0 <= acc <= 1.0
 
