@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from typing import Optional
 
 from ..models.factory import ModelConfig
@@ -33,6 +34,11 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     d.update(defaults)
     p.add_argument("--save_dir", type=str, default=d["save_dir"])
     p.add_argument("--dataset_dir", type=str, default="./data")
+    # prep cache location; defaults to <dataset_dir>/cache. Point this
+    # elsewhere when dataset_dir is a read-only mount (env
+    # KPGNN_CACHE_DIR works too, flag wins).
+    p.add_argument("--cache_dir", type=str,
+                   default=os.environ.get("KPGNN_CACHE_DIR"))
     p.add_argument("--seed", type=int, default=d["seed"])
     p.add_argument("--drop_prob", type=float, default=d["drop_prob"])
     p.add_argument("--batch_size", type=int, default=d["batch_size"])
@@ -188,14 +194,14 @@ def prepare(raw_graphs, args, cache_name: str):
     """k-hop preprocessing with caching + runtime ablation clamps
     (reference pre_transform + post_transform composition,
     train_ZINC.py:190-217)."""
-    import os
-
     from ..prep import apply_ablation_clamps, preprocess_graphs
 
     cfg = khop_config(args)
+    cache_dir = (getattr(args, "cache_dir", None)
+                 or os.path.join(args.dataset_dir, "cache"))
     graphs = preprocess_graphs(
         raw_graphs, cfg,
-        cache_dir=os.path.join(args.dataset_dir, "cache"),
+        cache_dir=cache_dir,
         name=cache_name, num_workers=args.num_workers,
         reprocess=args.reprocess)
     if args.wo_path_encoding or args.wo_edge_feature:
