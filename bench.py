@@ -179,6 +179,10 @@ def main():
 
     numeric = {k: v for k, v in backends.items()
                if isinstance(v, float) and k != "dense_bf16"}
+    if not numeric and isinstance(backends.get("dense_bf16"), float):
+        # all f32 backends errored but bf16 ran: it becomes the headline
+        # rather than misreporting a partially-working build as broken
+        numeric = {"dense_bf16": backends["dense_bf16"]}
     if not numeric:                     # every backend errored: still emit
         print(json.dumps({              # the one promised JSON line
             "metric": "khop_train_edges_per_s_per_chip",

@@ -25,18 +25,22 @@ import numpy as np
 
 
 def _read_csv(path, dtype=np.int64):
-    opener = gzip.open if path.endswith(".gz") else open
     if not os.path.exists(path) and not path.endswith(".gz"):
         path = path + ".gz"
+    opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         rows = [line.strip().split(",") for line in f if line.strip()]
+    if dtype == np.float32:
+        # multi-task label files leave unknown entries as empty cells
+        # (e.g. ogbg-molpcba); represent them as nan
+        rows = [[c if c else "nan" for c in r] for r in rows]
     return np.array(rows, dtype=dtype)
 
 
 def _maybe(path, dtype):
     for p in (path, path + ".gz"):
         if os.path.exists(p):
-            return _read_csv(path, dtype)
+            return _read_csv(p, dtype)
     return None
 
 

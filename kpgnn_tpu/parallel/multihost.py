@@ -134,24 +134,33 @@ def host_shard_loader(loader: Iterable[GraphBatch], mesh: Mesh,
     buf: List[GraphBatch] = []
     last: Optional[GraphBatch] = None
     yielded = 0
+
+    def check(yielded):
+        # must fire BEFORE the over-quota group is yielded: once the
+        # consumer feeds group n_groups+1 into a collective step it
+        # deadlocks in a psum the other hosts never join, and control
+        # never returns here
+        if n_groups is not None and yielded >= n_groups:
+            raise ValueError(
+                f"host produced more than lockstep n_groups={n_groups} "
+                "groups; recompute lockstep_group_count from the global "
+                "dataset size")
+
     for b in loader:
         last = b
         buf.append(b)
         if len(buf) == n_local:
+            check(yielded)
             yield make_global_super_batch(buf, mesh)
             yielded += 1
             buf = []
     if buf:
+        check(yielded)
         pad = mask_empty_batch(buf[-1])
         buf.extend([pad] * (n_local - len(buf)))
         yield make_global_super_batch(buf, mesh)
         yielded += 1
     if n_groups is not None:
-        if yielded > n_groups:
-            raise ValueError(
-                f"host produced {yielded} groups > lockstep n_groups="
-                f"{n_groups}; recompute lockstep_group_count from the "
-                "global dataset size")
         if yielded < n_groups and last is None:
             raise ValueError("empty host shard: cannot build masked "
                              "padding groups without a template batch")

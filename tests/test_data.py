@@ -216,6 +216,38 @@ def test_ogb_loader(tmp_path):
     assert out["splits"]["train"].tolist() == [0]
 
 
+def test_ogb_loader_gzipped_multitask(tmp_path):
+    """The standard OGB distribution: every CSV is gzipped, and
+    multi-task label files leave unknown entries as empty cells
+    (e.g. ogbg-molpcba)."""
+    import gzip
+
+    import numpy as np
+    from kpgnn_tpu.data import load_ogb_graphpred
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    files = {
+        "num-node-list.csv": "2\n2\n",
+        "num-edge-list.csv": "2\n2\n",
+        "edge.csv": "0,1\n1,0\n0,1\n1,0\n",
+        "graph-label.csv": "1,,0\n,0,\n",
+    }
+    for name, body in files.items():
+        with gzip.open(raw / (name + ".gz"), "wt") as f:
+            f.write(body)
+    sp = tmp_path / "split" / "scaffold"
+    sp.mkdir(parents=True)
+    with gzip.open(sp / "train.csv.gz", "wt") as f:
+        f.write("0\n1\n")
+    out = load_ogb_graphpred(str(tmp_path))
+    assert len(out["graphs"]) == 2
+    y0, y1 = out["graphs"][0]["y"], out["graphs"][1]["y"]
+    assert y0[0] == 1.0 and np.isnan(y0[1]) and y0[2] == 0.0
+    assert np.isnan(y1[0]) and y1[1] == 0.0 and np.isnan(y1[2])
+    assert out["splits"]["train"].tolist() == [0, 1]
+
+
 def test_extra_algorithms():
     import numpy as np
     A = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], float)
