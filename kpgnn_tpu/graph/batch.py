@@ -315,19 +315,31 @@ def collate_pallas(
     g_pad: Optional[int] = None,
     spec: Optional[BucketSpec] = None,
     y_is_node_level: bool = False,
+    tile_r: Optional[int] = None,
+    tile_e: Optional[int] = None,
 ) -> GraphBatch:
     """COO collation whose adjacency is a per-hop Pallas kernel plan
     (ops/pallas_spmm.py) — the fast sparse backend for sum-aggregating
-    layer families (KPGIN / KPGINPlus / GINE)."""
-    from ..ops.pallas_spmm import build_plan
+    layer families (KPGIN / KPGINPlus / GINE).  tile_r/tile_e override
+    the kernel grid geometry (multiples of 128; n_pad is raised to a
+    tile_r multiple)."""
+    from ..ops.pallas_spmm import TILE_E, TILE_R, build_plan
 
+    tile_r = tile_r or TILE_R
+    tile_e = tile_e or TILE_E
+    if n_pad is not None:
+        n_pad = ((n_pad + tile_r - 1) // tile_r) * tile_r
+    elif tile_r > 128:
+        spec = dataclasses.replace(spec or BucketSpec(),
+                                   node_multiple=tile_r)
     batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                     spec=spec, y_is_node_level=y_is_node_level)
     coo = batch.adj
     em = np.asarray(coo.edge_mask)
     plan = build_plan(
         np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
-        np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk)
+        np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
+        tile_r=tile_r, tile_e=tile_e)
     return batch.replace(adj=plan)
 
 

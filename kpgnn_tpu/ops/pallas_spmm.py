@@ -68,6 +68,10 @@ class HopCSR:
     # while-loop (see _kernel)
     max_chunks: int = struct.field(pytree_node=False)
     win_rows: int = struct.field(pytree_node=False)   # static window size
+    # tile geometry this CSR was built for (tile_e is also encoded in
+    # senders2d.shape[1]); both must be multiples of 128 — lane width for
+    # the edge axis, and the window-start `pl.multiple_of` hint for rows
+    tile_r: int = struct.field(pytree_node=False, default=TILE_R)
 
 
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
@@ -77,7 +81,8 @@ def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     return (codes[..., None] == iota).astype(jnp.float32)
 
 
-def _kernel(max_chunks, precision, win_rows, col_off, indptr_ref, wlo_ref,
+def _kernel(max_chunks, precision, win_rows, col_off, tile_r, tile_e,
+            indptr_ref, wlo_ref,
             senders2d_hbm, x_ref, starts_ref, ends_ref, out_ref, sbuf, sem):
     # CRITICAL Mosaic behavior (measured): a fori_loop with a *traced*
     # trip count lowers to a serializing while-loop at ~1 ms/iteration;
@@ -85,21 +90,21 @@ def _kernel(max_chunks, precision, win_rows, col_off, indptr_ref, wlo_ref,
     # runs at ~8 us/iteration.  So the chunk count is a static bound and
     # empty chunks are predicated off.
     i = pl.program_id(0)
-    r0 = i * TILE_R
-    e_lo = indptr_ref[r0]              # multiple of TILE_E by construction
-    e_hi = indptr_ref[r0 + TILE_R]
+    r0 = i * tile_r
+    e_lo = indptr_ref[r0]              # multiple of tile_e by construction
+    e_hi = indptr_ref[r0 + tile_r]
     w_lo = pl.multiple_of(wlo_ref[i], 128)   # w_lo + win_rows <= N
-    starts_col = starts_ref[...]                              # (TILE_R, 1)
-    ends_col = ends_ref[...]                                  # (TILE_R, 1)
+    starts_col = starts_ref[...]                              # (tile_r, 1)
+    ends_col = ends_ref[...]                                  # (tile_r, 1)
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
     for c in range(max_chunks):
-        off = e_lo + c * TILE_E
+        off = e_lo + c * tile_e
 
         @pl.when(off < e_hi)
         def _():
-            row = off // TILE_E
+            row = off // tile_e
             dma = pltpu.make_async_copy(
                 senders2d_hbm.at[pl.ds(row, 1), :], sbuf, sem)
             dma.start()
@@ -112,22 +117,22 @@ def _kernel(max_chunks, precision, win_rows, col_off, indptr_ref, wlo_ref,
             # every iota column and contribute zero (that is also the
             # streaming fallback's masking and the null-padding path)
             codes_col = (jnp.transpose(sbuf[...])
-                         - col_off - w_lo)                    # (TILE_E, 1)
+                         - col_off - w_lo)                    # (tile_e, 1)
             s_oh = (codes_col == jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_E, win_rows), 1)).astype(jnp.float32)
+                jnp.int32, (tile_e, win_rows), 1)).astype(jnp.float32)
             sx = jax.lax.dot_general(
                 s_oh, x_ref[pl.ds(w_lo, win_rows), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=precision,
-                preferred_element_type=jnp.float32)           # (TILE_E, D)
+                preferred_element_type=jnp.float32)           # (tile_e, D)
 
             # receiver membership as a pure elementwise range test —
             # row r owns edges [indptr[r], indptr[r+1]); no cross-lane
             # reductions anywhere in the kernel
             eidx = off + jax.lax.broadcasted_iota(
-                jnp.int32, (1, TILE_E), 1)                    # (1, TILE_E)
+                jnp.int32, (1, tile_e), 1)                    # (1, tile_e)
             ohr_t = ((eidx >= starts_col) & (eidx < ends_col)
-                     ).astype(jnp.float32)                    # (TILE_R,TILE_E)
+                     ).astype(jnp.float32)                    # (tile_r,tile_e)
             out_ref[...] += jax.lax.dot_general(
                 ohr_t, sx,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -140,17 +145,19 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
                        precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
 
-    x: (N, D) float32, N % TILE_R == 0.  Row N-1 must be a padding slot
-    (it is zeroed here — null alignment edges point at it).  The feature
-    dim pads to the 128-lane tile internally.
+    x: (N, D) float32, N % csr.tile_r == 0.  Row N-1 must be a padding
+    slot (it is zeroed here — null alignment edges point at it).  The
+    feature dim pads to the 128-lane tile internally.
     """
     if interpret is None:
         # Mosaic only lowers on TPU; on CPU run the kernel in interpret
         # mode so --backend pallas stays debuggable everywhere
         interpret = jax.default_backend() == "cpu"
+    tile_r = csr.tile_r
+    tile_e = csr.senders2d.shape[1]
     n, D_in = x.shape
     D = ((D_in + 127) // 128) * 128
-    assert n % TILE_R == 0, f"n_pad {n} must divide by {TILE_R}"
+    assert n % tile_r == 0, f"n_pad {n} must divide by {tile_r}"
     x = x.at[n - 1].set(0.0)
     if D != D_in:
         x = jnp.pad(x, ((0, 0), (0, D - D_in)))
@@ -158,22 +165,22 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     def call(x_shard, col_off, wlo, win_rows):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n // TILE_R,),
+            grid=(n // tile_r,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),               # senders2d
                 pl.BlockSpec(memory_space=pltpu.VMEM),           # x shard
-                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row starts
-                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0)),  # row ends
+                pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row starts
+                pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row ends
             ],
-            out_specs=pl.BlockSpec((TILE_R, D), lambda i, *_: (i, 0)),
+            out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, TILE_E), jnp.int32),
+                pltpu.VMEM((1, tile_e), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
         return pl.pallas_call(
             functools.partial(_kernel, csr.max_chunks, precision,
-                              win_rows, col_off),
+                              win_rows, col_off, tile_r, tile_e),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
             interpret=interpret,
@@ -187,7 +194,7 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
         # out-of-shard senders vanish from the one-hot, so the per-shard
         # outputs just sum (windows disabled: window/shard intersection
         # bookkeeping is not worth it on this slow path)
-        rows = max(TILE_R, (VMEM_X_LIMIT // (D * 4)) // TILE_R * TILE_R)
+        rows = max(tile_r, (VMEM_X_LIMIT // (D * 4)) // tile_r * tile_r)
         zero = jnp.zeros_like(csr.win_lo)
         out = sum(call(x[s:s + rows], s, zero, min(rows, n - s))
                   for s in range(0, n, rows))
@@ -203,6 +210,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     `aux`: optional [(array, pad_value), ...] of per-edge metadata sorted
     and padded alongside the senders; returns (csr, [flat_aux, ...]) then.
     """
+    assert tile_r % 128 == 0 and tile_e % 128 == 0, (tile_r, tile_e)
     order = np.argsort(receivers, kind="stable")
     receivers = np.asarray(receivers)[order]
     senders = np.asarray(senders)[order]
@@ -269,6 +277,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         win_lo=jnp.asarray(win_lo.astype(np.int32)),
         max_chunks=max(max_chunks, 1),
         win_rows=win_rows,
+        tile_r=tile_r,
     )
     if aux:
         return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]
@@ -318,10 +327,13 @@ class KHopPallasPlan:
         return self.hop_deg
 
 
-def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
+def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
+               tile_r: int = TILE_R, tile_e: int = TILE_E
                ) -> KHopPallasPlan:
     """Host-side plan: filter live edges per hop, sort both directions,
-    histogram attr codes per receiver."""
+    histogram attr codes per receiver.  tile_r/tile_e set the kernel's
+    grid geometry (multiples of 128; sweepable for throughput tuning —
+    n_pad must divide by tile_r)."""
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
     attr = np.asarray(attr)
@@ -331,12 +343,12 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int
         live = attr[:, k] > 0
         r, s = receivers[live], senders[live]
         c = np.clip(attr[live, k], 0, (v1 if k == 0 else vk) - 1)
-        csr, (rf, cf) = _build_one(r, s, n_nodes,
+        csr, (rf, cf) = _build_one(r, s, n_nodes, tile_r, tile_e,
                                    aux=[(r, n_nodes - 1), (c, 0)])
         fwd.append(csr)
         hop_recv.append(rf)
         hop_code.append(cf)
-        bwd.append(_build_one(s, r, n_nodes))
+        bwd.append(_build_one(s, r, n_nodes, tile_r, tile_e))
     counts1 = np.zeros((n_nodes, v1), np.float32)
     np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
     counts1[:, 0] = 0.0

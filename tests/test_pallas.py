@@ -258,3 +258,34 @@ def test_windowed_gather_on_graph_sorted_batch():
                                      jnp.asarray(tk), plan) ** 2)
     g = jax.grad(f)(jnp.asarray(x))
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("tile_r,tile_e", [(256, 128), (128, 256),
+                                           (256, 256)])
+def test_khop_spmm_tile_geometry(tile_r, tile_e):
+    """The kernel grid geometry is sweepable (throughput tuning on real
+    hardware); every legal tile pair must agree with the default."""
+    senders, receivers, attr, x, t1, tk = case(seed=7, n=512, e=1400)
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0],
+                      tk.shape[0], tile_r=tile_r, tile_e=tile_e)
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    expect = oracle(senders, receivers, attr, x, t1, tk, n)
+    assert np.allclose(np.asarray(out), expect, atol=1e-4), (tile_r, tile_e)
+    # gradients route through the transpose CSR with the same geometry
+    f = lambda x: khop_spmm(x, jnp.asarray(t1), jnp.asarray(tk), plan).sum()
+    g = jax.grad(f)(jnp.asarray(x))
+    plan0 = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    f0 = lambda x: khop_spmm(x, jnp.asarray(t1), jnp.asarray(tk),
+                             plan0).sum()
+    g0 = jax.grad(f0)(jnp.asarray(x))
+    assert np.allclose(np.asarray(g), np.asarray(g0), atol=1e-4)
+
+
+def test_collate_pallas_tile_r_pads_nodes():
+    from kpgnn_tpu.graph.batch import collate_pallas
+    from tests.test_batch import toy_graph
+    gs = [toy_graph(10, 24, K=3, seed=i) for i in range(4)]
+    b = collate_pallas(gs, v1=6, vk=9, tile_r=256)
+    assert b.x.shape[0] % 256 == 0
+    assert all(c.tile_r == 256 for c in b.adj.fwd)
