@@ -160,7 +160,34 @@ def _step_flops(model, batch):
         return 0.0
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Emit the promised JSON line and exit if the device never answers.
+
+    The TPU here sits behind a tunnel; when the tunnel is down a device
+    op hangs forever rather than raising, which would leave the bench
+    with no output at all.  A tiny probe op must complete within
+    `timeout_s` or the watchdog reports the outage and exits 0."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "khop_train_edges_per_s_per_chip",
+                "value": 0.0, "unit": "edges/s", "vs_baseline": None,
+                "error": f"device unresponsive after {timeout_s:.0f}s "
+                         "(tunnel down?)",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+    jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    done.set()
+
+
 def main():
+    _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
     model, mcfg, graphs, model_bf16 = _model_and_graphs()
     batched, edges = _collate_all(graphs, mcfg)
 
