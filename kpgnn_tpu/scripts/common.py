@@ -114,6 +114,12 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
                         "need 'highest' for f32-exact MXU passes, matching "
                         "the reference's f32 CUDA. Big benchmarks keep the "
                         "fast default.")
+    p.add_argument("--resident", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="keep the whole dense-mode dataset in HBM and run "
+                        "each epoch as one lax.scan dispatch (no per-batch "
+                        "host->device transfer). auto = on when the store "
+                        "fits (KPGNN_RESIDENT_MAX_BYTES, default 4 GiB)")
     p.add_argument("--parallel", nargs="?", const="data", default=None,
                    choices=("data", "node"),
                    help="parallelism over all visible devices: 'data' "
@@ -237,8 +243,9 @@ def maybe_mesh(args):
 
 
 def parallel_kwargs(args):
-    """Trainer kwargs for the chosen --parallel mode (empty mesh = off)."""
+    """Trainer kwargs for --parallel / --resident execution modes."""
+    kw = {"resident": getattr(args, "resident", "auto")}
     mode = getattr(args, "parallel", None)
-    if not mode:
-        return {}
-    return {"mesh": maybe_mesh(args), "parallel_mode": mode}
+    if mode:
+        kw.update(mesh=maybe_mesh(args), parallel_mode=mode)
+    return kw

@@ -8,6 +8,14 @@ from .loop import (
     Trainer,
 )
 from .lr import ReduceLROnPlateau, StepDecay
+from .resident import (
+    DenseStore,
+    build_dense_store,
+    gather_batch,
+    epoch_index_chunks,
+    make_resident_train_epoch,
+    make_resident_eval,
+)
 from .loader import GraphLoader
 from .kfold import k_fold, k_fold_unstratified
 from .checkpoint import CheckpointSaver, save_checkpoint, load_checkpoint
@@ -17,6 +25,8 @@ __all__ = [
     "TrainConfig", "TrainState", "create_train_state",
     "make_train_step", "make_eval_step", "train_epoch", "evaluate", "Trainer",
     "ReduceLROnPlateau", "StepDecay", "GraphLoader",
+    "DenseStore", "build_dense_store", "gather_batch",
+    "epoch_index_chunks", "make_resident_train_epoch", "make_resident_eval",
     "k_fold", "k_fold_unstratified",
     "CheckpointSaver", "save_checkpoint", "load_checkpoint", "EMA",
 ]

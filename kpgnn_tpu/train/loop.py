@@ -48,8 +48,12 @@ def _batch_target_mask(batch: GraphBatch, node_level: bool):
     return (batch.node_mask if node_level else batch.graph_mask)
 
 
-def make_train_step(model, tx, loss: str = "l1", node_level: bool = False,
-                    donate: bool = True):
+def train_step_body(model, tx, loss: str = "l1", node_level: bool = False):
+    """The un-jitted train step: (state, batch, rng) -> (state, metrics).
+
+    Shared by the per-batch jitted step (make_train_step) and the
+    resident scan epoch (train/resident.py), so both paths run the
+    identical XLA computation."""
     def step(state: TrainState, batch: GraphBatch, rng):
         def loss_fn(params):
             variables = {"params": params}
@@ -80,6 +84,12 @@ def make_train_step(model, tx, loss: str = "l1", node_level: bool = False,
         )
         return new_state, {"loss_sum": lsum, "count": cnt}
 
+    return step
+
+
+def make_train_step(model, tx, loss: str = "l1", node_level: bool = False,
+                    donate: bool = True):
+    step = train_step_body(model, tx, loss, node_level)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -88,9 +98,10 @@ def _apply(tx, grads, opt_state, params):
     return optax.apply_updates(params, updates), new_opt
 
 
-def make_eval_step(model, loss: str = "l1", node_level: bool = False,
+def eval_step_body(model, loss: str = "l1", node_level: bool = False,
                    metric: str = "same", bn_train_mode: bool = False):
-    """Eval step returning per-batch sums for exact epoch aggregation.
+    """Un-jitted eval step returning per-batch sums for exact epoch
+    aggregation (shared with the resident scan eval).
 
     metric: "same" (the loss), "mae", "mse", "accuracy", or "none".
     bn_train_mode keeps BatchNorm in batch-statistics mode during eval —
@@ -127,7 +138,13 @@ def make_eval_step(model, loss: str = "l1", node_level: bool = False,
             out["abs_per_target"] = jnp.sum(jnp.abs(pred - batch.y) * m, 0)
         return out
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(model, loss: str = "l1", node_level: bool = False,
+                   metric: str = "same", bn_train_mode: bool = False):
+    return jax.jit(eval_step_body(model, loss, node_level, metric,
+                                  bn_train_mode))
 
 
 def device_prefetch(iterable, depth: int = 2):
@@ -218,6 +235,11 @@ def evaluate(eval_step, state, loader) -> Dict[str, float]:
     # one host sync for the whole eval pass
     sums = {k: np.sum(np.asarray(jax.device_get(v), np.float64), axis=0)
             for k, v in dev.items()}
+    return summarize_eval_sums(sums)
+
+
+def summarize_eval_sums(sums: Dict[str, np.ndarray]) -> Dict[str, float]:
+    """Epoch metric dict from summed per-batch eval-step outputs."""
     cnt = max(float(sums.get("count", 0.0)), 1.0)
     out = {"loss": float(sums.get("loss_sum", 0.0)) / cnt, "count": cnt}
     if "correct" in sums:
@@ -259,6 +281,13 @@ class Trainer:
                                         # device (dp.py), "node" = each batch
                                         # node-sharded over the mesh with
                                         # halo exchange (parallel/partition)
+    resident: str = "auto"              # "auto"|"on"|"off": keep the whole
+                                        # dense-mode dataset in HBM and run
+                                        # each epoch as ONE lax.scan dispatch
+                                        # (train/resident.py). auto = on for
+                                        # single-device dense loaders whose
+                                        # store fits KPGNN_RESIDENT_MAX_BYTES
+                                        # (default 4 GiB)
 
     def log(self, msg):
         if self.logger:
@@ -281,6 +310,47 @@ class Trainer:
             self.log(f"warm start from {self.cfg.load_path}")
         n_dev = (int(np.prod(self.mesh.devices.shape))
                  if self.mesh is not None else 1)
+
+        # --- resident dense store: one-scan epochs, zero per-epoch
+        # host->device data motion (train/resident.py) ---
+        def _dense_loader(l):
+            return (getattr(l, "mode", None) == "dense"
+                    and hasattr(l, "graphs") and hasattr(l, "n_slot"))
+
+        use_resident = (self.mesh is None and self.resident != "off"
+                        and _dense_loader(train_loader))
+        if use_resident and self.resident == "auto":
+            import os as _os
+            from .resident import store_nbytes
+            cap = float(_os.environ.get("KPGNN_RESIDENT_MAX_BYTES",
+                                        4 << 30))
+            use_resident = store_nbytes(train_loader.graphs,
+                                        train_loader.n_slot) <= cap
+        resident_train_fn = resident_eval_fn = None
+        train_store = None
+        stores: Dict[int, object] = {}
+        if use_resident:
+            from .resident import (build_dense_store, epoch_index_chunks,
+                                   make_resident_eval,
+                                   make_resident_train_epoch)
+
+            def store_for(loader):
+                key = id(loader.graphs)
+                if key not in stores:
+                    stores[key] = build_dense_store(
+                        loader.graphs, loader.n_slot, loader.v1,
+                        loader.vk, loader.y_is_node_level)
+                return stores[key]
+
+            train_store = store_for(train_loader)
+            resident_train_fn = make_resident_train_epoch(
+                self.model, tx, self.loss, self.node_level)
+            resident_eval_fn = make_resident_eval(
+                self.model, self.loss, self.node_level,
+                self.eval_metric, self.bn_train_mode_eval)
+            self.log(f"resident store: {len(train_loader.graphs)} graphs "
+                     "in HBM, one-scan epochs")
+
         wrap_eval_loader = lambda l: l
         if self.mesh is not None and self.parallel_mode == "node":
             from ..parallel.partition import (PartitionedLoader,
@@ -311,10 +381,28 @@ class Trainer:
                 self.model, self.loss, self.node_level,
                 self.eval_metric, self.bn_train_mode_eval)
             wrap_eval_loader = DeviceCacheLoader
-        if val_loader is not None:
-            val_loader = wrap_eval_loader(val_loader)
-        if test_loader is not None:
-            test_loader = wrap_eval_loader(test_loader)
+        def make_eval_closure(loader):
+            if loader is None:
+                return None
+            if use_resident and _dense_loader(loader):
+                from .resident import epoch_index_chunks
+                store = store_for(loader)
+                chunks = jnp.asarray(epoch_index_chunks(
+                    np.arange(len(loader.graphs)), loader.batch_size,
+                    store.num_graphs))
+
+                def run(state):
+                    sums = jax.device_get(
+                        resident_eval_fn(state, store, chunks))
+                    return summarize_eval_sums(
+                        {k: np.asarray(v, np.float64)
+                         for k, v in sums.items()})
+                return run
+            wrapped = wrap_eval_loader(loader)
+            return lambda state: evaluate(eval_step, state, wrapped)
+
+        val_eval = make_eval_closure(val_loader)
+        test_eval = make_eval_closure(test_loader)
         sched_mode = "min" if self.sched_on == "loss" else self.metric_mode
         sched = ReduceLROnPlateau(
             factor=self.cfg.factor, patience=self.cfg.patience,
@@ -342,32 +430,51 @@ class Trainer:
           try:
             t0 = time.time()
             rng, sub = jax.random.split(rng)
-            if self.mesh is not None and self.parallel_mode == "node":
-                from ..parallel.partition import partition_loader
-                stream = partition_loader(train_loader, n_dev,
-                                          self.mesh.axis_names[0])
-            elif self.mesh is not None:
-                from ..parallel.dp import shard_loader
-                stream = shard_loader(train_loader, n_dev)
+            if use_resident:
+                from .resident import epoch_index_chunks
+                G = len(train_loader.graphs)
+                order = (train_loader.rng.permutation(G)
+                         if train_loader.shuffle else np.arange(G))
+                if getattr(train_loader, "drop_last", False):
+                    bs = train_loader.batch_size
+                    order = order[: (len(order) // bs) * bs]
+                chunks = jnp.asarray(epoch_index_chunks(
+                    order, train_loader.batch_size,
+                    train_store.num_graphs))
+                run_epoch = lambda: resident_train_fn(
+                    state, train_store, chunks, sub)
             else:
-                stream = device_prefetch(iter(train_loader))
+                if self.mesh is not None and self.parallel_mode == "node":
+                    from ..parallel.partition import partition_loader
+                    stream = partition_loader(train_loader, n_dev,
+                                              self.mesh.axis_names[0])
+                elif self.mesh is not None:
+                    from ..parallel.dp import shard_loader
+                    stream = shard_loader(train_loader, n_dev)
+                else:
+                    stream = device_prefetch(iter(train_loader))
+                run_epoch = lambda: train_epoch(train_step, state, stream,
+                                                sub)
             # trace the second epoch (past compile); first if there is
             # only one, so --num_epochs 1 still produces a trace
             profile_epoch = 1 if self.cfg.num_epochs > 1 else 0
             if self.cfg.profile_dir and epoch == profile_epoch:
                 from ..utils.profiling import trace
                 with trace(self.cfg.profile_dir):
-                    state, train_loss = train_epoch(train_step, state,
-                                                    stream, sub)
+                    out = run_epoch()
                 self.log(f"profiler trace of epoch {epoch} -> "
                          f"{self.cfg.profile_dir}")
             else:
-                state, train_loss = train_epoch(train_step, state, stream,
-                                                sub)
+                out = run_epoch()
+            if use_resident:
+                state, lsum, cnt = out
+                train_loss = (float(lsum) / max(float(cnt), 1.0))
+            else:
+                state, train_loss = out
             row = {"epoch": epoch, "train_loss": train_loss,
                    "lr": get_lr(state), "seconds": time.time() - t0}
-            if val_loader is not None:
-                val = evaluate(eval_step, state, val_loader)
+            if val_eval is not None:
+                val = val_eval(state)
                 row.update({f"val_{k}": v for k, v in val.items()
                             if k != "count"})
                 metric = val[key]
@@ -385,8 +492,8 @@ class Trainer:
                     best_epoch = epoch
                     if saver is not None:
                         saver.save(epoch, state, metric)
-                    if test_loader is not None:
-                        best_test = evaluate(eval_step, state, test_loader)
+                    if test_eval is not None:
+                        best_test = test_eval(state)
                         row.update({f"test_{k}": v for k, v in
                                     best_test.items() if k != "count"})
             history.append(row)

@@ -1,0 +1,151 @@
+"""Resident dense store: on-device gather == collate_dense, and the
+one-scan epoch (train/resident.py) is numerically the per-batch path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kpgnn_tpu.graph import collate_dense
+from kpgnn_tpu.models import make_model
+from kpgnn_tpu.train import (
+    GraphLoader,
+    TrainConfig,
+    Trainer,
+    build_dense_store,
+    create_train_state,
+    epoch_index_chunks,
+    gather_batch,
+    make_resident_eval,
+    make_resident_train_epoch,
+)
+from kpgnn_tpu.train.loop import (evaluate, make_eval_step, make_train_step,
+                                  train_epoch)
+
+from test_train import make_dataset, model_cfg
+
+N_SLOT = 10
+V1, VK = 3, 12      # num_hop1_edge+2, max_pe_num+2 for model_cfg()
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_dataset(n_graphs=40)
+
+
+@pytest.fixture(scope="module")
+def store(dataset):
+    return build_dense_store(dataset, n_slot=N_SLOT, v1=V1, vk=VK)
+
+
+def assert_batch_equal(a, b):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0,
+                                   atol=0)
+
+
+def test_gather_equals_collate_dense_full(dataset, store):
+    idx = np.array([3, 0, 7, 12], np.int32)
+    got = gather_batch(store, jnp.asarray(idx))
+    want = collate_dense([dataset[i] for i in idx], n_slot=N_SLOT,
+                         v1=V1, vk=VK, g_pad=4)
+    assert_batch_equal(got, want)
+
+
+def test_gather_pads_partial_batch(dataset, store):
+    # 3 real graphs in a 5-slot batch: pad slots = the empty graph
+    idx = np.array([5, 9, 1], np.int32)
+    chunks = epoch_index_chunks(idx, 5, pad_idx=store.num_graphs)
+    assert chunks.shape == (1, 5)
+    got = gather_batch(store, jnp.asarray(chunks[0]))
+    want = collate_dense([dataset[i] for i in idx], n_slot=N_SLOT,
+                         v1=V1, vk=VK, g_pad=5)
+    assert_batch_equal(got, want)
+    assert np.asarray(got.graph_mask).tolist() == [True] * 3 + [False] * 2
+
+
+def test_scan_epoch_matches_per_batch(dataset, store):
+    model = make_model(model_cfg())
+    B = 8
+    chunks = epoch_index_chunks(np.arange(len(dataset)), B,
+                                pad_idx=store.num_graphs)
+    batches = [collate_dense(dataset[i * B:(i + 1) * B], n_slot=N_SLOT,
+                             v1=V1, vk=VK, g_pad=B)
+               for i in range(chunks.shape[0])]
+    state0, tx = create_train_state(model, batches[0], jax.random.PRNGKey(1),
+                                    1e-3)
+
+    # per-batch reference path (the exact train_epoch rng protocol)
+    step = make_train_step(model, tx, "cross_entropy", donate=False)
+    state_ref, loss_ref = train_epoch(step, state0, batches,
+                                      jax.random.PRNGKey(7))
+
+    ep = make_resident_train_epoch(model, tx, "cross_entropy")
+    state_res, lsum, cnt = ep(state0, store, jnp.asarray(chunks),
+                              jax.random.PRNGKey(7))
+    assert float(cnt) == len(dataset)
+    np.testing.assert_allclose(float(lsum) / float(cnt), loss_ref,
+                               rtol=1e-5)
+    for pr, pb in zip(jax.tree_util.tree_leaves(state_res.params),
+                      jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_resident_eval_matches_evaluate(dataset, store):
+    model = make_model(model_cfg())
+    B = 8
+    chunks = epoch_index_chunks(np.arange(len(dataset)), B,
+                                pad_idx=store.num_graphs)
+    batches = [collate_dense(dataset[i * B:(i + 1) * B], n_slot=N_SLOT,
+                             v1=V1, vk=VK, g_pad=B)
+               for i in range(chunks.shape[0])]
+    state, _ = create_train_state(model, batches[0], jax.random.PRNGKey(2),
+                                  1e-3)
+    want = evaluate(make_eval_step(model, "cross_entropy"), state, batches)
+    run = make_resident_eval(model, "cross_entropy")
+    sums = jax.device_get(run(state, store, jnp.asarray(chunks)))
+    from kpgnn_tpu.train.loop import summarize_eval_sums
+    got = summarize_eval_sums({k: np.asarray(v, np.float64)
+                               for k, v in sums.items()})
+    assert got["count"] == want["count"]
+    np.testing.assert_allclose(got["loss"], want["loss"], rtol=1e-6)
+    np.testing.assert_allclose(got["accuracy"], want["accuracy"], rtol=0)
+
+
+def test_trainer_resident_equals_standard(dataset):
+    """Full Trainer runs, resident on vs off, shuffle disabled: identical
+    epoch histories (same rng protocol, same batches)."""
+    lk = dict(mode="dense", n_slot=N_SLOT, v1=V1, vk=VK)
+    results = {}
+    for mode in ("on", "off"):
+        model = make_model(model_cfg())
+        loader = GraphLoader(dataset, batch_size=8, shuffle=False, **lk)
+        val = GraphLoader(dataset, batch_size=8, **lk)
+        cfg = TrainConfig(lr=5e-3, num_epochs=3, batch_size=8,
+                          loss="cross_entropy", patience=50)
+        tr = Trainer(model, cfg, loss="cross_entropy", metric_mode="max",
+                     resident=mode)
+        _, res = tr.fit(loader, val, val, rng=jax.random.PRNGKey(3))
+        results[mode] = res
+    for a, b in zip(results["on"]["history"], results["off"]["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=2e-5)
+        np.testing.assert_allclose(a["val_accuracy"], b["val_accuracy"],
+                                   rtol=0)
+    assert results["on"]["best_val"] == results["off"]["best_val"]
+
+
+def test_trainer_auto_resident_learns(dataset):
+    """Shuffled auto-resident e2e: the triangle task still trains."""
+    lk = dict(mode="dense", n_slot=N_SLOT, v1=V1, vk=VK)
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset, batch_size=8, shuffle=True, seed=0, **lk)
+    val = GraphLoader(dataset, batch_size=8, **lk)
+    cfg = TrainConfig(lr=5e-3, num_epochs=25, batch_size=8,
+                      loss="cross_entropy", patience=50)
+    tr = Trainer(model, cfg, loss="cross_entropy", metric_mode="max")
+    _, res = tr.fit(loader, val, val, rng=jax.random.PRNGKey(0))
+    assert res["best_val"] > 0.85, res["best_val"]
