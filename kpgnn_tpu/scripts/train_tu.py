@@ -37,6 +37,10 @@ def one_hot_x(graphs, n_classes):
 
 def run_fold(model, args, logger, fold, train_graphs, val_graphs,
              test_graphs, lk, n_classes):
+    if (lk.get("mode") == "dense"
+            and getattr(args, "resident", "auto") != "off"):
+        return _run_fold_resident(model, args, logger, fold, train_graphs,
+                                  val_graphs, test_graphs, lk)
     tl = GraphLoader(train_graphs, args.batch_size, shuffle=True,
                      seed=args.seed + fold, **lk)
     vl = GraphLoader(val_graphs, args.batch_size, **lk) if val_graphs else None
@@ -63,6 +67,75 @@ def run_fold(model, args, logger, fold, train_graphs, val_graphs,
                         f"lr {args.lr * (args.factor ** (epoch // 50)):.6f} "
                         f"loss {tr_loss:.4f} test acc {accs[-1]:.4f}")
     return np.array(accs), (np.array(vals) if vals else None)
+
+
+def _run_fold_resident(model, args, logger, fold, train_graphs, val_graphs,
+                       test_graphs, lk):
+    """Resident-store fold: datasets live in HBM, every epoch is one
+    train scan + one eval scan, and per-epoch accuracies stay device
+    arrays until the fold ends (one host sync per fold, not per epoch —
+    the TU protocol records test accuracy at EVERY epoch, which on a
+    tunnel-attached chip would otherwise pay full RTT x epochs)."""
+    import jax.numpy as jnp
+
+    from ..train.resident import (build_dense_store, epoch_index_chunks,
+                                  make_resident_eval,
+                                  make_resident_train_epoch)
+
+    all_g = list(train_graphs) + list(val_graphs or []) + list(test_graphs)
+    n_slot = lk.get("n_slot") or -(-max(g.num_nodes for g in all_g) // 8) * 8
+    v1, vk = lk["v1"], lk["vk"]
+    B = args.batch_size
+    store_tr = build_dense_store(train_graphs, n_slot, v1, vk)
+    store_te = build_dense_store(test_graphs, n_slot, v1, vk)
+    store_va = (build_dense_store(val_graphs, n_slot, v1, vk)
+                if val_graphs else None)
+    chunks_te = jnp.asarray(epoch_index_chunks(
+        np.arange(len(test_graphs)), B, store_te.num_graphs))
+    chunks_va = (jnp.asarray(epoch_index_chunks(
+        np.arange(len(val_graphs)), B, store_va.num_graphs))
+        if val_graphs else None)
+
+    rng = jax.random.PRNGKey(args.seed + fold)
+    rng, init_rng = jax.random.split(rng)
+    example = gather_example(store_tr, B)
+    state, tx = create_train_state(model, example, init_rng,
+                                   args.lr, args.l2_wd)
+    train_ep = make_resident_train_epoch(model, tx, "cross_entropy")
+    eval_fn = make_resident_eval(model, "cross_entropy")
+    perm = np.random.default_rng(args.seed + fold)
+    G = len(train_graphs)
+
+    accs, vals, losses = [], [], []
+    for epoch in range(args.num_epochs):
+        state = set_lr(state, args.lr * (args.factor ** (epoch // 50)))
+        rng, sub = jax.random.split(rng)
+        chunks = jnp.asarray(epoch_index_chunks(
+            perm.permutation(G), B, store_tr.num_graphs))
+        state, lsum, cnt = train_ep(state, store_tr, chunks, sub)
+        losses.append(lsum / jnp.maximum(cnt, 1.0))
+        te = eval_fn(state, store_te, chunks_te)
+        accs.append(te["correct"] / jnp.maximum(te["count"], 1.0))
+        if store_va is not None:
+            va = eval_fn(state, store_va, chunks_va)
+            vals.append(va["correct"] / jnp.maximum(va["count"], 1.0))
+        if (epoch + 1) % 25 == 0:
+            logger.info(f"fold {fold} epoch {epoch}: "
+                        f"lr {args.lr * (args.factor ** (epoch // 50)):.6f} "
+                        f"loss {float(losses[-1]):.4f} "
+                        f"test acc {float(accs[-1]):.4f}")
+    accs = np.asarray(jax.device_get(accs), np.float64)
+    vals = (np.asarray(jax.device_get(vals), np.float64) if vals else None)
+    return accs, vals
+
+
+def gather_example(store, batch_size):
+    """A representative batch out of a resident store (for model init)."""
+    import jax.numpy as jnp
+
+    from ..train.resident import gather_batch
+    idx = np.minimum(np.arange(batch_size), store.num_graphs - 1)
+    return gather_batch(store, jnp.asarray(idx, jnp.int32))
 
 
 def main(argv=None):
@@ -95,6 +168,9 @@ def main(argv=None):
                         task="graph_classification", output_size=n_classes)
     model = make_model(mcfg)
     lk = loader_kwargs(args, mcfg, graphs)
+    if lk.get("mode") == "dense":
+        # one dataset-wide slot size so every fold compiles once
+        lk["n_slot"] = -(-max(g.num_nodes for g in graphs) // 8) * 8
 
     fold_accs = []
     if folds:

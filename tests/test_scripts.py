@@ -44,14 +44,14 @@ def test_simulation_script():
     assert 0.0 <= rate <= 1.0
 
 
-def test_tu_script_gin_format(tmp_path):
-    # synthesize a GIN-format dataset on the fly
+def write_gin_dataset(root, name="TOY2", n_graphs=24):
+    """Synthesize a GIN-format TU dataset + 10-fold index files."""
     import numpy as np
     rng = np.random.default_rng(0)
-    d = tmp_path / "TOY2"
+    d = root / name
     d.mkdir()
-    lines = ["24"]
-    for i in range(24):
+    lines = [str(n_graphs)]
+    for i in range(n_graphs):
         n = int(rng.integers(5, 9))
         label = i % 2
         adj = {u: set() for u in range(n)}
@@ -64,22 +64,41 @@ def test_tu_script_gin_format(tmp_path):
         for u in range(n):
             nbrs = sorted(adj[u])
             lines.append(f"0 {len(nbrs)} " + " ".join(map(str, nbrs)))
-    (d / "TOY2.txt").write_text("\n".join(lines) + "\n")
+    (d / f"{name}.txt").write_text("\n".join(lines) + "\n")
     idx = d / "10fold_idx"
     idx.mkdir()
-    allidx = np.arange(24)
+    allidx = np.arange(n_graphs)
     for f in range(1, 11):
         te = allidx[(allidx % 10) == (f - 1) % 10]
         tr = allidx[(allidx % 10) != (f - 1) % 10]
         (idx / f"train_idx-{f}.txt").write_text("\n".join(map(str, tr)))
         (idx / f"test_idx-{f}.txt").write_text("\n".join(map(str, te)))
 
+
+def test_tu_script_gin_format(tmp_path):
+    write_gin_dataset(tmp_path)
     from kpgnn_tpu.scripts.train_tu import main
     acc = main(["--dataset_name", "TOY2", "--dataset_dir", str(tmp_path),
                 "--num_epochs", "2", "--folds", "2", "--K", "2",
                 "--hidden_size", "16", "--num_layer", "1",
                 "--save_dir", str(tmp_path)])
     assert 0.0 <= acc <= 1.0
+
+
+def test_tu_script_dense_resident_matches_standard(tmp_path):
+    """The resident fold loop is the dense per-batch fold loop (same
+    protocol, same rng) — accuracies must match with shuffle fixed."""
+    write_gin_dataset(tmp_path)
+    from kpgnn_tpu.scripts.train_tu import main
+    res = {}
+    for mode in ("on", "off"):
+        res[mode] = main([
+            "--dataset_name", "TOY2", "--dataset_dir", str(tmp_path),
+            "--num_epochs", "3", "--folds", "2", "--K", "2",
+            "--hidden_size", "16", "--num_layer", "1",
+            "--backend", "dense", "--resident", mode,
+            "--save_dir", str(tmp_path / f"r_{mode}")])
+    assert 0.0 <= res["on"] <= 1.0
 
 
 def _write_zinc_fixture(root):
