@@ -65,19 +65,15 @@ class ShardStream:
         return shard_loader(self.loader, self.n_shards)
 
 
-def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
+def parallel_train_step_body(model, tx, loss: str = "l1",
                              node_level: bool = False, axis: str = "data"):
-    """Returns a jitted step: (replicated TrainState, stacked GraphBatch,
-    rng) -> (TrainState, metrics).  Gradient psum rides ICI."""
-
-    # a tuple axis (e.g. ("dcn", "data") from parallel.multihost) shards
-    # the super-batch over both mesh axes; psums name the pair and XLA
-    # reduces hierarchically (ICI inside a host, DCN across hosts)
+    """Per-device (inside shard_map) train step: (state, local batch, rng)
+    -> (state, psum'd metrics).  Shared by the stacked-super-batch step
+    below and the resident one-dispatch scan epoch
+    (train/resident.py make_parallel_resident_train_epoch)."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
-    def per_device(state: TrainState, batch: GraphBatch, rng):
-        # shard_map keeps the (now size-1) leading device axis; drop it
-        batch = jax.tree.map(lambda a: a[0], batch)
+    def step(state: TrainState, batch: GraphBatch, rng):
         for a in axes:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(a))
 
@@ -124,6 +120,24 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
         }
         return new_state, metrics
 
+    return step
+
+
+def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
+                             node_level: bool = False, axis: str = "data"):
+    """Returns a jitted step: (replicated TrainState, stacked GraphBatch,
+    rng) -> (TrainState, metrics).  Gradient psum rides ICI."""
+
+    # a tuple axis (e.g. ("dcn", "data") from parallel.multihost) shards
+    # the super-batch over both mesh axes; psums name the pair and XLA
+    # reduces hierarchically (ICI inside a host, DCN across hosts)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    body = parallel_train_step_body(model, tx, loss, node_level, axis)
+
+    def per_device(state: TrainState, batch: GraphBatch, rng):
+        # shard_map keeps the (now size-1) leading device axis; drop it
+        return body(state, jax.tree.map(lambda a: a[0], batch), rng)
+
     # params/opt replicated; the stacked batch splits on its leading axis
     state_spec = P()
     batch_spec = P(axes if len(axes) > 1 else axes[0])
@@ -136,16 +150,14 @@ def make_parallel_train_step(model, tx, mesh: Mesh, loss: str = "l1",
     return jax.jit(smapped, donate_argnums=(0,))
 
 
-def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
+def parallel_eval_step_body(model, loss: str = "l1",
                             node_level: bool = False, metric: str = "same",
                             bn_train_mode: bool = False, axis: str = "data"):
-    """Data-parallel eval: each device evaluates its batch of the stacked
-    super-batch, per-batch sums psum over the axis — the same keys as
-    train.loop.make_eval_step, so evaluate() aggregates identically."""
+    """Per-device (inside shard_map) eval step: (state, local batch) ->
+    psum'd metric sums.  Shared with the resident scan eval."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
-    def per_device(state: TrainState, batch: GraphBatch):
-        batch = jax.tree.map(lambda a: a[0], batch)
+    def step(state: TrainState, batch: GraphBatch):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
@@ -168,6 +180,22 @@ def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
         if which in ("mse",) and loss not in ("mse",):
             out["mse_sum"] = _masked_loss(pred, batch.y, mask, "mse")[0]
         return jax.tree.map(lambda v: jax.lax.psum(v, axes), out)
+
+    return step
+
+
+def make_parallel_eval_step(model, mesh: Mesh, loss: str = "l1",
+                            node_level: bool = False, metric: str = "same",
+                            bn_train_mode: bool = False, axis: str = "data"):
+    """Data-parallel eval: each device evaluates its batch of the stacked
+    super-batch, per-batch sums psum over the axis — the same keys as
+    train.loop.make_eval_step, so evaluate() aggregates identically."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    body = parallel_eval_step_body(model, loss, node_level, metric,
+                                   bn_train_mode, axis)
+
+    def per_device(state: TrainState, batch: GraphBatch):
+        return body(state, jax.tree.map(lambda a: a[0], batch))
 
     smapped = shard_map(
         per_device, mesh=mesh,

@@ -13,8 +13,11 @@ from .resident import (
     build_dense_store,
     gather_batch,
     epoch_index_chunks,
+    parallel_epoch_index_chunks,
     make_resident_train_epoch,
     make_resident_eval,
+    make_parallel_resident_train_epoch,
+    make_parallel_resident_eval,
 )
 from .loader import GraphLoader
 from .kfold import k_fold, k_fold_unstratified
@@ -27,6 +30,8 @@ __all__ = [
     "ReduceLROnPlateau", "StepDecay", "GraphLoader",
     "DenseStore", "build_dense_store", "gather_batch",
     "epoch_index_chunks", "make_resident_train_epoch", "make_resident_eval",
+    "parallel_epoch_index_chunks", "make_parallel_resident_train_epoch",
+    "make_parallel_resident_eval",
     "k_fold", "k_fold_unstratified",
     "CheckpointSaver", "save_checkpoint", "load_checkpoint", "EMA",
 ]

@@ -317,7 +317,8 @@ class Trainer:
             return (getattr(l, "mode", None) == "dense"
                     and hasattr(l, "graphs") and hasattr(l, "n_slot"))
 
-        use_resident = (self.mesh is None and self.resident != "off"
+        use_resident = ((self.mesh is None or self.parallel_mode == "data")
+                        and self.resident != "off"
                         and _dense_loader(train_loader))
         if use_resident and self.resident == "auto":
             import os as _os
@@ -329,8 +330,11 @@ class Trainer:
         resident_train_fn = resident_eval_fn = None
         train_store = None
         stores: Dict[int, object] = {}
+        resident_axes = None
         if use_resident:
             from .resident import (build_dense_store, epoch_index_chunks,
+                                   make_parallel_resident_eval,
+                                   make_parallel_resident_train_epoch,
                                    make_resident_eval,
                                    make_resident_train_epoch)
 
@@ -343,13 +347,36 @@ class Trainer:
                 return stores[key]
 
             train_store = store_for(train_loader)
-            resident_train_fn = make_resident_train_epoch(
-                self.model, tx, self.loss, self.node_level)
-            resident_eval_fn = make_resident_eval(
-                self.model, self.loss, self.node_level,
-                self.eval_metric, self.bn_train_mode_eval)
+            if self.mesh is not None:
+                resident_axes = (self.mesh.axis_names
+                                 if len(self.mesh.axis_names) > 1
+                                 else self.mesh.axis_names[0])
+                resident_train_fn = make_parallel_resident_train_epoch(
+                    self.model, tx, self.mesh, self.loss, self.node_level,
+                    axis=resident_axes)
+                resident_eval_fn = make_parallel_resident_eval(
+                    self.model, self.mesh, self.loss, self.node_level,
+                    self.eval_metric, self.bn_train_mode_eval,
+                    axis=resident_axes)
+            else:
+                resident_train_fn = make_resident_train_epoch(
+                    self.model, tx, self.loss, self.node_level)
+                resident_eval_fn = make_resident_eval(
+                    self.model, self.loss, self.node_level,
+                    self.eval_metric, self.bn_train_mode_eval)
             self.log(f"resident store: {len(train_loader.graphs)} graphs "
-                     "in HBM, one-scan epochs")
+                     f"in HBM, one-scan epochs"
+                     + (f" over {n_dev} devices" if self.mesh is not None
+                        else ""))
+
+        def resident_chunks(order, batch_size, pad_idx):
+            from .resident import (epoch_index_chunks,
+                                   parallel_epoch_index_chunks)
+            if self.mesh is not None:
+                return jnp.asarray(parallel_epoch_index_chunks(
+                    order, batch_size, n_dev, pad_idx))
+            return jnp.asarray(epoch_index_chunks(order, batch_size,
+                                                  pad_idx))
 
         wrap_eval_loader = lambda l: l
         if self.mesh is not None and self.parallel_mode == "node":
@@ -385,11 +412,10 @@ class Trainer:
             if loader is None:
                 return None
             if use_resident and _dense_loader(loader):
-                from .resident import epoch_index_chunks
                 store = store_for(loader)
-                chunks = jnp.asarray(epoch_index_chunks(
+                chunks = resident_chunks(
                     np.arange(len(loader.graphs)), loader.batch_size,
-                    store.num_graphs))
+                    store.num_graphs)
 
                 def run(state):
                     sums = jax.device_get(
@@ -431,16 +457,14 @@ class Trainer:
             t0 = time.time()
             rng, sub = jax.random.split(rng)
             if use_resident:
-                from .resident import epoch_index_chunks
                 G = len(train_loader.graphs)
                 order = (train_loader.rng.permutation(G)
                          if train_loader.shuffle else np.arange(G))
                 if getattr(train_loader, "drop_last", False):
                     bs = train_loader.batch_size
                     order = order[: (len(order) // bs) * bs]
-                chunks = jnp.asarray(epoch_index_chunks(
-                    order, train_loader.batch_size,
-                    train_store.num_graphs))
+                chunks = resident_chunks(order, train_loader.batch_size,
+                                         train_store.num_graphs)
                 run_epoch = lambda: resident_train_fn(
                     state, train_store, chunks, sub)
             else:

@@ -217,3 +217,90 @@ def make_resident_eval(model, loss: str = "l1", node_level: bool = False,
         return {k: jnp.sum(v, axis=0) for k, v in ms.items()}
 
     return run
+
+
+def parallel_epoch_index_chunks(order: np.ndarray, batch_size: int,
+                                n_dev: int, pad_idx: int) -> np.ndarray:
+    """(steps, n_dev, B) int32 chunks; trailing partial super-batch padded
+    with the empty-graph slot (the resident analogue of shard_loader's
+    masked-empty fill — every graph is seen, none double-counted)."""
+    flat = epoch_index_chunks(order, batch_size * n_dev, pad_idx)
+    return flat.reshape(flat.shape[0], n_dev, batch_size)
+
+
+def make_parallel_resident_train_epoch(model, tx, mesh, loss: str = "l1",
+                                       node_level: bool = False,
+                                       axis: str = "data"):
+    """Data-parallel one-dispatch epoch over a device mesh.
+
+    jitted (replicated state, replicated store, idx_chunks (S, n_dev, B)
+    sharded on the device axis, rng) -> (state, loss_sum, count).
+
+    The dense store is replicated into every device's HBM (molecule-scale
+    stores are tens of MB; parameters are already replicated the same
+    way), each scan step gathers a per-device sub-batch by index, and the
+    per-step gradient psum rides ICI — the whole epoch is one dispatch
+    and the only per-epoch host->device traffic is the (S, n_dev, B)
+    int32 index array.  Replaces the per-super-batch host loop of
+    dp.shard_loader + make_parallel_train_step with identical numerics
+    (shared parallel_train_step_body).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.dp import parallel_train_step_body
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    body = parallel_train_step_body(model, tx, loss, node_level, axis)
+
+    def per_device(state, store, idx_chunks, rng):
+        local = idx_chunks.reshape(idx_chunks.shape[0], -1)   # (S, B) here
+
+        def step(carry, idx):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = body(st, gather_batch(store, idx), sub)
+            return (st, r), (m["loss_sum"], m["count"])
+
+        (state, _), (ls, cs) = jax.lax.scan(step, (state, rng), local)
+        return state, jnp.sum(ls), jnp.sum(cs)
+
+    dev_spec = axes if len(axes) > 1 else axes[0]
+    smapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(None, dev_spec), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_parallel_resident_eval(model, mesh, loss: str = "l1",
+                                node_level: bool = False,
+                                metric: str = "same",
+                                bn_train_mode: bool = False,
+                                axis: str = "data"):
+    """jitted (state, store, idx_chunks (S, n_dev, B)) -> summed metrics
+    (already psum'd across the mesh, so the host reads replicated sums)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.dp import parallel_eval_step_body
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    body = parallel_eval_step_body(model, loss, node_level, metric,
+                                   bn_train_mode, axis)
+
+    def per_device(state, store, idx_chunks):
+        local = idx_chunks.reshape(idx_chunks.shape[0], -1)
+
+        def step(_, idx):
+            return None, body(state, gather_batch(store, idx))
+
+        _, ms = jax.lax.scan(step, None, local)
+        return {k: jnp.sum(v, axis=0) for k, v in ms.items()}
+
+    dev_spec = axes if len(axes) > 1 else axes[0]
+    smapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(None, dev_spec)),
+        out_specs=P(),
+        check_vma=False)
+    return jax.jit(smapped)

@@ -138,6 +138,98 @@ def test_trainer_resident_equals_standard(dataset):
     assert results["on"]["best_val"] == results["off"]["best_val"]
 
 
+def test_parallel_resident_epoch_matches_dp_loop(dataset, store):
+    """One-dispatch mesh epoch == the per-super-batch dp loop on the
+    identical batch composition (shared parallel_train_step_body)."""
+    from kpgnn_tpu.parallel import make_mesh, make_parallel_train_step, \
+        stack_batches
+    from kpgnn_tpu.train import (make_parallel_resident_train_epoch,
+                                 parallel_epoch_index_chunks)
+
+    model = make_model(model_cfg())
+    B, n_dev = 4, 4
+    mesh = make_mesh(n_dev)
+    chunks = parallel_epoch_index_chunks(np.arange(len(dataset)), B, n_dev,
+                                         store.num_graphs)
+    assert chunks.shape == (-(-len(dataset) // (B * n_dev)), n_dev, B)
+
+    example = gather_batch(store, jnp.asarray(chunks[0, 0]))
+    state0, tx = create_train_state(model, example, jax.random.PRNGKey(1),
+                                    1e-3)
+    state1, _ = create_train_state(model, example, jax.random.PRNGKey(1),
+                                   1e-3)
+
+    # reference: dp super-batch loop with train_epoch's rng protocol
+    step = make_parallel_train_step(model, tx, mesh, loss="cross_entropy")
+    rng = jax.random.PRNGKey(7)
+    state_ref, ls_ref, cnt_ref = state0, 0.0, 0.0
+    for s in range(chunks.shape[0]):
+        per_dev = [gather_batch(store, jnp.asarray(chunks[s, d]))
+                   for d in range(n_dev)]
+        rng, sub = jax.random.split(rng)
+        state_ref, m = step(state_ref, stack_batches(per_dev), sub)
+        ls_ref += float(m["loss_sum"])
+        cnt_ref += float(m["count"])
+
+    ep = make_parallel_resident_train_epoch(model, tx, mesh,
+                                            "cross_entropy")
+    state_res, lsum, cnt = ep(state1, store, jnp.asarray(chunks),
+                              jax.random.PRNGKey(7))
+    assert float(cnt) == cnt_ref == len(dataset)
+    np.testing.assert_allclose(float(lsum), ls_ref, rtol=1e-5)
+    for pr, pb in zip(jax.tree_util.tree_leaves(state_res.params),
+                      jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_parallel_resident_eval_matches_single_device(dataset, store):
+    """psum'd mesh scan eval == the single-device resident eval sums,
+    including a trailing partial super-batch (pure padding devices)."""
+    from kpgnn_tpu.parallel import make_mesh
+    from kpgnn_tpu.train import (make_parallel_resident_eval,
+                                 parallel_epoch_index_chunks)
+
+    model = make_model(model_cfg())
+    B, n_dev = 4, 4
+    # 40 graphs, 16-graph super-batches -> 3 steps, last mostly padding
+    chunks = parallel_epoch_index_chunks(np.arange(len(dataset)), B, n_dev,
+                                         store.num_graphs)
+    example = gather_batch(store, jnp.asarray(chunks[0, 0]))
+    state, _ = create_train_state(model, example, jax.random.PRNGKey(2),
+                                  1e-3)
+    flat = epoch_index_chunks(np.arange(len(dataset)), B,
+                              pad_idx=store.num_graphs)
+    want = jax.device_get(make_resident_eval(model, "cross_entropy")(
+        state, store, jnp.asarray(flat)))
+    mesh = make_mesh(n_dev)
+    got = jax.device_get(make_parallel_resident_eval(
+        model, mesh, "cross_entropy")(state, store, jnp.asarray(chunks)))
+    assert float(got["count"]) == float(want["count"]) == len(dataset)
+    np.testing.assert_allclose(float(got["loss_sum"]),
+                               float(want["loss_sum"]), rtol=1e-5)
+    np.testing.assert_allclose(float(got["correct"]),
+                               float(want["correct"]), rtol=0)
+
+
+def test_trainer_mesh_resident_learns(dataset):
+    """Trainer with mesh + dense loaders takes the parallel resident path
+    (one dispatch per epoch across the mesh) and still trains."""
+    from kpgnn_tpu.parallel import make_mesh
+
+    lk = dict(mode="dense", n_slot=N_SLOT, v1=V1, vk=VK)
+    model = make_model(model_cfg())
+    loader = GraphLoader(dataset, batch_size=4, shuffle=True, seed=0, **lk)
+    val = GraphLoader(dataset, batch_size=4, **lk)
+    cfg = TrainConfig(lr=5e-3, num_epochs=20, batch_size=4,
+                      loss="cross_entropy", patience=50)
+    tr = Trainer(model, cfg, loss="cross_entropy", metric_mode="max",
+                 mesh=make_mesh(4), resident="on")
+    _, res = tr.fit(loader, val, val, rng=jax.random.PRNGKey(0))
+    assert res["best_val"] > 0.85, res["best_val"]
+    assert res["history"][-1]["val_loss"] is not None
+
+
 def test_trainer_auto_resident_learns(dataset):
     """Shuffled auto-resident e2e: the triangle task still trains."""
     lk = dict(mode="dense", n_slot=N_SLOT, v1=V1, vk=VK)
