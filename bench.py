@@ -99,6 +99,35 @@ def _bench_backend(model, batches, edges):
     return _time_step(step, state, batches, jax.random.PRNGKey(1), edges)
 
 
+def _bench_resident(model, graphs, mcfg, example_batch, edges):
+    """Trainer's resident path: whole dataset in HBM, the epoch as one
+    lax.scan dispatch (train/resident.py) — no per-step host dispatch."""
+    from kpgnn_tpu.train import (build_dense_store, create_train_state,
+                                 epoch_index_chunks,
+                                 make_resident_train_epoch)
+
+    v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+    store = build_dense_store(graphs, N_SLOT, v1=v1, vk=vk)
+    chunks = jnp.asarray(epoch_index_chunks(
+        np.arange(len(graphs)), BATCH, store.num_graphs))
+    state, tx = create_train_state(model, example_batch,
+                                   jax.random.PRNGKey(0), 1e-3)
+    ep = make_resident_train_epoch(model, tx, loss="l1")
+    rng = jax.random.PRNGKey(1)
+    state, ls, cnt = ep(state, store, chunks, rng)       # compile + warmup
+    jax.block_until_ready(ls)
+    per_epoch = sum(edges)
+    n_epochs = max(ITERS // len(edges), 1)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state, ls, cnt = ep(state, store, chunks, rng)
+        jax.block_until_ready(ls)
+        best = max(best, n_epochs * per_epoch / (time.perf_counter() - t0))
+    return best
+
+
 def _bench_pallas_spmm(graphs, mcfg):
     """Bare kernel: device-resident khop_spmm fwd, union edges/s."""
     from kpgnn_tpu.graph.batch import collate, collate_pallas
@@ -203,6 +232,12 @@ def main():
             _bench_backend(model_bf16, batched["dense"], edges), 1)
     except Exception as e:
         backends["dense_bf16"] = f"error: {type(e).__name__}: {e}"[:120]
+    try:                                # resident scan epochs (the Trainer
+        backends["dense_resident"] = round(   # default on dense loaders)
+            _bench_resident(model, graphs, mcfg, batched["dense"][0],
+                            edges), 1)
+    except Exception as e:
+        backends["dense_resident"] = f"error: {type(e).__name__}: {e}"[:120]
 
     numeric = {k: v for k, v in backends.items()
                if isinstance(v, float) and k != "dense_bf16"}
@@ -242,7 +277,9 @@ def main():
         big = f"error: {type(e).__name__}"[:60]
 
     peak = _measured_matmul_peak()
-    flops = _step_flops(model, batched[headline_name][0])
+    flops_key = ("dense" if headline_name.startswith("dense")
+                 else headline_name)
+    flops = _step_flops(model, batched[flops_key][0])
     steps_per_s = headline / max(np.mean(edges), 1.0)
     mfu = (flops * steps_per_s / peak) if (flops and peak) else 0.0
 
