@@ -179,6 +179,13 @@ def parallel_eval_step_body(model, loss: str = "l1",
             out["mae_sum"] = _masked_loss(pred, batch.y, mask, "l1")[0]
         if which in ("mse",) and loss not in ("mse",):
             out["mse_sum"] = _masked_loss(pred, batch.y, mask, "mse")[0]
+        # per-target absolute error (multi-target regression, e.g. QM9) —
+        # keyed like the single-device eval step so summarize_eval_sums
+        # reports mae_per_target under --parallel too
+        if not node_level and batch.y is not None and batch.y.ndim == 2 \
+                and loss in ("l1", "mse"):
+            m = mask.astype(pred.dtype)[:, None]
+            out["abs_per_target"] = jnp.sum(jnp.abs(pred - batch.y) * m, 0)
         return jax.tree.map(lambda v: jax.lax.psum(v, axes), out)
 
     return step

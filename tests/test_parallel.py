@@ -281,6 +281,30 @@ def test_parallel_eval_counts_every_graph():
     assert total == 20.0
 
 
+def test_parallel_eval_per_target_mae():
+    """Multi-target regression (QM9 shape): the parallel eval step must
+    emit the same abs_per_target sums as the single-device step."""
+    from kpgnn_tpu.parallel.dp import make_parallel_eval_step
+    from kpgnn_tpu.train import make_eval_step
+    import dataclasses
+    graphs = toy_graphs(8, seed=17)
+    rng = np.random.default_rng(17)
+    for g in graphs:
+        g.y = rng.normal(size=(3,)).astype(np.float32)
+    model = make_model(dataclasses.replace(cfg(), output_size=3))
+    big = collate(graphs, n_pad=128, e_pad=256, g_pad=9)
+    state, _ = create_train_state(model, big, jax.random.PRNGKey(0), 1e-2)
+    m1 = make_eval_step(model, loss="l1")(state, big)
+    shards = [collate(graphs[i * 2:(i + 1) * 2], n_pad=32, e_pad=64, g_pad=3)
+              for i in range(4)]
+    mesh = make_mesh(4)
+    m2 = make_parallel_eval_step(model, mesh, loss="l1")(
+        state, stack_batches(shards))
+    assert "abs_per_target" in m2
+    np.testing.assert_allclose(np.asarray(m2["abs_per_target"]),
+                               np.asarray(m1["abs_per_target"]), rtol=1e-4)
+
+
 def test_trainer_with_mesh(tmp_path):
     from kpgnn_tpu.train import TrainConfig, Trainer
     graphs = toy_graphs(32, seed=9)
