@@ -212,6 +212,30 @@ def test_parallel_resident_eval_matches_single_device(dataset, store):
                                float(want["correct"]), rtol=0)
 
 
+def test_parallel_resident_hierarchical_dcn_mesh(dataset, store):
+    """Resident scan epoch over a 2-host ("dcn", "data") mesh: psums name
+    the axis pair, the index chunks shard over all 8 devices."""
+    from kpgnn_tpu.parallel.multihost import dcn_mesh
+    from kpgnn_tpu.train import (make_parallel_resident_train_epoch,
+                                 parallel_epoch_index_chunks)
+
+    model = make_model(model_cfg())
+    mesh = dcn_mesh(n_hosts=2)
+    n_dev = mesh.devices.size
+    chunks = parallel_epoch_index_chunks(np.arange(len(dataset)), 2, n_dev,
+                                         store.num_graphs)
+    example = gather_batch(store, jnp.asarray(chunks[0, 0]))
+    state, tx = create_train_state(model, example, jax.random.PRNGKey(1),
+                                   1e-3)
+    ep = make_parallel_resident_train_epoch(model, tx, mesh,
+                                            "cross_entropy",
+                                            axis=("dcn", "data"))
+    state, lsum, cnt = ep(state, store, jnp.asarray(chunks),
+                          jax.random.PRNGKey(7))
+    assert float(cnt) == len(dataset)
+    assert np.isfinite(float(lsum))
+
+
 def test_trainer_mesh_resident_learns(dataset):
     """Trainer with mesh + dense loaders takes the parallel resident path
     (one dispatch per epoch across the mesh) and still trains."""
