@@ -317,33 +317,70 @@ class Trainer:
             return (getattr(l, "mode", None) == "dense"
                     and hasattr(l, "graphs") and hasattr(l, "n_slot"))
 
+        def _coo_loader(l):
+            return (getattr(l, "mode", None) == "coo"
+                    and hasattr(l, "graphs"))
+
+        def _resident_loader(l):
+            return _dense_loader(l) or _coo_loader(l)
+
         use_resident = ((self.mesh is None or self.parallel_mode == "data")
                         and self.resident != "off"
-                        and _dense_loader(train_loader))
+                        and _resident_loader(train_loader))
         if use_resident and self.resident == "auto":
             import os as _os
-            from .resident import store_nbytes
+            from .resident import coo_store_nbytes, store_nbytes
             cap = float(_os.environ.get("KPGNN_RESIDENT_MAX_BYTES",
                                         4 << 30))
-            use_resident = store_nbytes(train_loader.graphs,
-                                        train_loader.n_slot) <= cap
+            gs = train_loader.graphs
+            if _dense_loader(train_loader):
+                nbytes = store_nbytes(gs, train_loader.n_slot)
+                use_resident = nbytes <= cap
+            else:
+                ns = max(g.num_nodes for g in gs)
+                es = max(g.num_edges for g in gs)
+                nbytes = coo_store_nbytes(gs, ns, es)
+                # per-graph slots waste compute when sizes are skewed
+                # (compact COO packing is the whole point of coo mode);
+                # auto only engages when slots are mostly full
+                eff = min(
+                    sum(g.num_nodes for g in gs) / (len(gs) * ns),
+                    sum(g.num_edges for g in gs) / max(len(gs) * es, 1))
+                use_resident = nbytes <= cap and eff >= 0.5
         resident_train_fn = resident_eval_fn = None
         train_store = None
         stores: Dict[int, object] = {}
         resident_axes = None
         if use_resident:
-            from .resident import (build_dense_store, epoch_index_chunks,
+            from .resident import (build_coo_store, build_dense_store,
+                                   epoch_index_chunks,
                                    make_parallel_resident_eval,
                                    make_parallel_resident_train_epoch,
                                    make_resident_eval,
                                    make_resident_train_epoch)
 
+            # COO stores need uniform slots across train/val/test so the
+            # scan bodies compile once per split shape
+            coo_mode = _coo_loader(train_loader)
+            if coo_mode:
+                all_graphs = list(train_loader.graphs)
+                for l in (val_loader, test_loader):
+                    if l is not None and _coo_loader(l):
+                        all_graphs += list(l.graphs)
+                coo_n_slot = max(g.num_nodes for g in all_graphs)
+                coo_e_slot = max(g.num_edges for g in all_graphs)
+
             def store_for(loader):
                 key = id(loader.graphs)
                 if key not in stores:
-                    stores[key] = build_dense_store(
-                        loader.graphs, loader.n_slot, loader.v1,
-                        loader.vk, loader.y_is_node_level)
+                    if coo_mode:
+                        stores[key] = build_coo_store(
+                            loader.graphs, coo_n_slot, coo_e_slot,
+                            loader.y_is_node_level)
+                    else:
+                        stores[key] = build_dense_store(
+                            loader.graphs, loader.n_slot, loader.v1,
+                            loader.vk, loader.y_is_node_level)
                 return stores[key]
 
             train_store = store_for(train_loader)
@@ -411,7 +448,8 @@ class Trainer:
         def make_eval_closure(loader):
             if loader is None:
                 return None
-            if use_resident and _dense_loader(loader):
+            if use_resident and _resident_loader(loader) \
+                    and loader.mode == train_loader.mode:
                 store = store_for(loader)
                 chunks = resident_chunks(
                     np.arange(len(loader.graphs)), loader.batch_size,

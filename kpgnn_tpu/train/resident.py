@@ -90,17 +90,81 @@ def build_dense_store(
     Gs = G + 1
     K = graphs[0].K
     hop16 = np.zeros((Gs, K, n_slot, n_slot), dtype=np.int16)
+    for i, g in enumerate(graphs):
+        if g.num_nodes > n_slot:
+            raise ValueError(f"graph with {g.num_nodes} nodes > "
+                             f"n_slot={n_slot}")
+        if g.num_edges:
+            u, v = g.edge_index[0], g.edge_index[1]
+            ea = np.asarray(g.edge_attr).reshape(g.num_edges, K)
+            for k in range(K):
+                hop16[i, k, v, u] = ea[:, k]
+
+    node_mask, graph_valid, stack_nodes = _stack_node_fields(graphs, n_slot)
+    y = _stack_y(graphs, n_slot, y_is_node_level)
+    j = lambda a: jnp.asarray(a) if a is not None else None
+    return DenseStore(
+        hop16=j(hop16), x=j(stack_nodes("x")), node_mask=j(node_mask),
+        graph_valid=j(graph_valid), pe_attr=j(stack_nodes("pe_attr")),
+        peripheral_edge_attr=j(stack_nodes("peripheral_edge_attr")),
+        peripheral_config_attr=j(stack_nodes("peripheral_config_attr")),
+        rd=j(stack_nodes("rd")), z=j(stack_nodes("z")),
+        pos=j(stack_nodes("pos")), y=j(y),
+        v1=v1, vk=vk, y_is_node_level=y_is_node_level,
+    )
+
+
+@struct.dataclass
+class COOStore:
+    """Per-graph padded COO tensors, leading dim Gs = num_graphs + 1.
+
+    The COO analogue of DenseStore for graphs too large for dense
+    n_slot x n_slot tiles (e.g. TU DD): each graph keeps its union edge
+    list padded to e_slot with local node ids in [0, n_slot); batch
+    assembly offsets graph b's ids by b*n_slot.  Padded edges carry
+    all-zero edge_attr, so their messages vanish exactly like
+    collate()'s padding (graph/batch.py).  Last slot = empty pad graph."""
+
+    senders: jnp.ndarray                  # (Gs, E) int32 local ids
+    receivers: jnp.ndarray                # (Gs, E) int32 local ids
+    edge_attr16: jnp.ndarray              # (Gs, E, K) int16 attr codes
+    edge_mask: jnp.ndarray                # (Gs, E) bool
+    x: jnp.ndarray                        # (Gs, n, ...)
+    node_mask: jnp.ndarray                # (Gs, n) bool
+    graph_valid: jnp.ndarray              # (Gs,) bool
+    pe_attr: Optional[jnp.ndarray]
+    peripheral_edge_attr: Optional[jnp.ndarray]
+    peripheral_config_attr: Optional[jnp.ndarray]
+    rd: Optional[jnp.ndarray]
+    z: Optional[jnp.ndarray]
+    pos: Optional[jnp.ndarray]
+    y: Optional[jnp.ndarray]
+    y_is_node_level: bool = struct.field(pytree_node=False)
+
+    @property
+    def num_graphs(self) -> int:
+        return self.senders.shape[0] - 1
+
+    @property
+    def n_slot(self) -> int:
+        return self.node_mask.shape[-1]
+
+    @property
+    def e_slot(self) -> int:
+        return self.senders.shape[1]
+
+
+def _stack_node_fields(graphs: Sequence[Graph], n_slot: int):
+    """(Gs, n_slot, ...) arrays for every present node-level field, plus
+    node_mask/graph_valid/y — shared by both store builders."""
+    G = len(graphs)
+    Gs = G + 1
     node_mask = np.zeros((Gs, n_slot), dtype=bool)
     for i, g in enumerate(graphs):
         if g.num_nodes > n_slot:
             raise ValueError(f"graph with {g.num_nodes} nodes > "
                              f"n_slot={n_slot}")
         node_mask[i, : g.num_nodes] = True
-        if g.num_edges:
-            u, v = g.edge_index[0], g.edge_index[1]
-            ea = np.asarray(g.edge_attr).reshape(g.num_edges, K)
-            for k in range(K):
-                hop16[i, k, v, u] = ea[:, k]
 
     def stack_nodes(field):
         arrs = [getattr(g, field) for g in graphs]
@@ -112,34 +176,149 @@ def build_dense_store(
             out[i, : g.num_nodes] = np.asarray(a)
         return out
 
-    y = None
-    ys = [g.y for g in graphs]
-    if not any(v is None for v in ys):
-        y0 = np.asarray(ys[0])
-        if y_is_node_level:
-            y = np.zeros((Gs, n_slot) + y0.shape[1:], dtype=y0.dtype)
-            for i, g in enumerate(graphs):
-                y[i, : g.num_nodes] = np.asarray(g.y)
-        else:
-            y0 = y0.reshape(-1)
-            y = np.zeros((Gs, y0.shape[0]) if y0.shape[0] > 1 else (Gs,),
-                         dtype=y0.dtype)
-            for i, g in enumerate(graphs):
-                y[i] = (np.asarray(g.y).reshape(-1) if y.ndim > 1
-                        else np.asarray(g.y).reshape(()))
-
     graph_valid = np.zeros((Gs,), dtype=bool)
     graph_valid[:G] = True
+    return node_mask, graph_valid, stack_nodes
+
+
+def _stack_y(graphs: Sequence[Graph], n_slot: int,
+             y_is_node_level: bool):
+    G = len(graphs)
+    Gs = G + 1
+    ys = [g.y for g in graphs]
+    if any(v is None for v in ys):
+        return None
+    y0 = np.asarray(ys[0])
+    if y_is_node_level:
+        y = np.zeros((Gs, n_slot) + y0.shape[1:], dtype=y0.dtype)
+        for i, g in enumerate(graphs):
+            y[i, : g.num_nodes] = np.asarray(g.y)
+        return y
+    y0 = y0.reshape(-1)
+    y = np.zeros((Gs, y0.shape[0]) if y0.shape[0] > 1 else (Gs,),
+                 dtype=y0.dtype)
+    for i, g in enumerate(graphs):
+        y[i] = (np.asarray(g.y).reshape(-1) if y.ndim > 1
+                else np.asarray(g.y).reshape(()))
+    return y
+
+
+def coo_store_nbytes(graphs: Sequence[Graph], n_slot: int,
+                     e_slot: int) -> int:
+    """Cheap upper-bound estimate of a COOStore's HBM footprint."""
+    g = graphs[0]
+    Gs = len(graphs) + 1
+    per = e_slot * (4 + 4 + 1 + 2 * g.K)         # senders/recv/mask/attr16
+    for f in ("x", "pe_attr", "peripheral_edge_attr",
+              "peripheral_config_attr", "rd", "z", "pos"):
+        a = getattr(g, f, None)
+        if a is not None:
+            a = np.asarray(a)
+            per += 4 * n_slot * int(np.prod(a.shape[1:], dtype=np.int64))
+    return Gs * per
+
+
+def build_coo_store(
+    graphs: Sequence[Graph],
+    n_slot: Optional[int] = None,
+    e_slot: Optional[int] = None,
+    y_is_node_level: bool = False,
+) -> COOStore:
+    """Pack the dataset into a device-resident per-graph COO pytree.
+
+    Per-graph edges are sorted by local receiver, so after the
+    b*n_slot offset the assembled batch is receiver-sorted within each
+    graph block and blocks ascend — the same monotonic layout
+    collate() produces."""
+    G = len(graphs)
+    Gs = G + 1
+    K = graphs[0].K
+    if n_slot is None:
+        n_slot = max(g.num_nodes for g in graphs)
+    if e_slot is None:
+        e_slot = max(g.num_edges for g in graphs)
+    senders = np.zeros((Gs, e_slot), dtype=np.int32)
+    receivers = np.zeros((Gs, e_slot), dtype=np.int32)
+    edge_attr = np.zeros((Gs, e_slot, K), dtype=np.int16)
+    edge_mask = np.zeros((Gs, e_slot), dtype=bool)
+    for i, g in enumerate(graphs):
+        e = g.num_edges
+        if e > e_slot:
+            raise ValueError(f"graph with {e} edges > e_slot={e_slot}")
+        if e:
+            u = np.asarray(g.edge_index[0], np.int32)
+            v = np.asarray(g.edge_index[1], np.int32)
+            ea = np.asarray(g.edge_attr).reshape(e, K)
+            order = np.argsort(v, kind="stable")
+            senders[i, :e] = u[order]
+            receivers[i, :e] = v[order]
+            edge_attr[i, :e] = ea[order].astype(np.int16)
+            edge_mask[i, :e] = True
+
+    node_mask, graph_valid, stack_nodes = _stack_node_fields(graphs, n_slot)
     j = lambda a: jnp.asarray(a) if a is not None else None
-    return DenseStore(
-        hop16=j(hop16), x=j(stack_nodes("x")), node_mask=j(node_mask),
+    return COOStore(
+        senders=j(senders), receivers=j(receivers),
+        edge_attr16=j(edge_attr), edge_mask=j(edge_mask),
+        x=j(stack_nodes("x")), node_mask=j(node_mask),
         graph_valid=j(graph_valid), pe_attr=j(stack_nodes("pe_attr")),
         peripheral_edge_attr=j(stack_nodes("peripheral_edge_attr")),
         peripheral_config_attr=j(stack_nodes("peripheral_config_attr")),
         rd=j(stack_nodes("rd")), z=j(stack_nodes("z")),
-        pos=j(stack_nodes("pos")), y=j(y),
-        v1=v1, vk=vk, y_is_node_level=y_is_node_level,
+        pos=j(stack_nodes("pos")),
+        y=j(_stack_y(graphs, n_slot, y_is_node_level)),
+        y_is_node_level=y_is_node_level,
     )
+
+
+def gather_coo_batch(store: COOStore, idx: jnp.ndarray) -> GraphBatch:
+    """On-device COO batch assembly for the graphs at `idx`: node slots
+    b*n_slot..(b+1)*n_slot-1 like dense mode, edge ids offset per slot.
+    Padded edges keep all-zero attrs so their messages vanish; their
+    endpoints land inside the owning slot, which masked norms/pools
+    already ignore."""
+    from ..ops.adjacency import COOAdj
+
+    B = idx.shape[0]
+    n = store.n_slot
+    offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
+    take = lambda a: None if a is None else a[idx]
+    flat = lambda a: (None if a is None
+                      else a.reshape((B * n,) + a.shape[2:]))
+    adj = COOAdj(
+        senders=(store.senders[idx] + offs).reshape(-1),
+        receivers=(store.receivers[idx] + offs).reshape(-1),
+        edge_attr=store.edge_attr16[idx].astype(jnp.int32).reshape(
+            B * store.e_slot, -1),
+        edge_mask=store.edge_mask[idx].reshape(-1),
+        n_nodes=B * n,
+    )
+    y = store.y
+    if y is not None:
+        y = y[idx]
+        if store.y_is_node_level:
+            y = y.reshape((B * n,) + y.shape[2:])
+    return GraphBatch(
+        x=flat(take(store.x)),
+        node_mask=flat(take(store.node_mask)),
+        node_graph_ids=jnp.repeat(jnp.arange(B, dtype=jnp.int32), n),
+        pe_attr=flat(take(store.pe_attr)),
+        peripheral_edge_attr=flat(take(store.peripheral_edge_attr)),
+        peripheral_config_attr=flat(take(store.peripheral_config_attr)),
+        rd=flat(take(store.rd)),
+        z=flat(take(store.z)),
+        pos=flat(take(store.pos)),
+        adj=adj,
+        y=y,
+        graph_mask=store.graph_valid[idx],
+    )
+
+
+def gather_any(store, idx: jnp.ndarray) -> GraphBatch:
+    """Dispatch by store type (static at trace time)."""
+    if isinstance(store, COOStore):
+        return gather_coo_batch(store, idx)
+    return gather_batch(store, idx)
 
 
 def gather_batch(store: DenseStore, idx: jnp.ndarray) -> GraphBatch:
@@ -194,7 +373,7 @@ def make_resident_train_epoch(model, tx, loss: str = "l1",
         def step(carry, idx):
             st, r = carry
             r, sub = jax.random.split(r)
-            st, m = body(st, gather_batch(store, idx), sub)
+            st, m = body(st, gather_any(store, idx), sub)
             return (st, r), (m["loss_sum"], m["count"])
 
         (state, _), (ls, cs) = jax.lax.scan(step, (state, rng), idx_chunks)
@@ -211,7 +390,7 @@ def make_resident_eval(model, loss: str = "l1", node_level: bool = False,
     @jax.jit
     def run(state, store, idx_chunks):
         def step(_, idx):
-            return None, body(state, gather_batch(store, idx))
+            return None, body(state, gather_any(store, idx))
 
         _, ms = jax.lax.scan(step, None, idx_chunks)
         return {k: jnp.sum(v, axis=0) for k, v in ms.items()}
@@ -258,7 +437,7 @@ def make_parallel_resident_train_epoch(model, tx, mesh, loss: str = "l1",
         def step(carry, idx):
             st, r = carry
             r, sub = jax.random.split(r)
-            st, m = body(st, gather_batch(store, idx), sub)
+            st, m = body(st, gather_any(store, idx), sub)
             return (st, r), (m["loss_sum"], m["count"])
 
         (state, _), (ls, cs) = jax.lax.scan(step, (state, rng), local)
@@ -292,7 +471,7 @@ def make_parallel_resident_eval(model, mesh, loss: str = "l1",
         local = idx_chunks.reshape(idx_chunks.shape[0], -1)
 
         def step(_, idx):
-            return None, body(state, gather_batch(store, idx))
+            return None, body(state, gather_any(store, idx))
 
         _, ms = jax.lax.scan(step, None, local)
         return {k: jnp.sum(v, axis=0) for k, v in ms.items()}

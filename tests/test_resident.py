@@ -138,6 +138,74 @@ def test_trainer_resident_equals_standard(dataset):
     assert results["on"]["best_val"] == results["off"]["best_val"]
 
 
+def test_coo_gather_eval_matches_collate(dataset):
+    """COO store gather uses slot layout (vs collate's compact packing),
+    but masked losses/metrics must be identical on the same graphs."""
+    from kpgnn_tpu.graph import collate
+    from kpgnn_tpu.train.resident import build_coo_store, gather_coo_batch
+
+    cstore = build_coo_store(dataset)
+    model = make_model(model_cfg())
+    idx = np.array([3, 0, 7, 12, 21], np.int32)
+    gathered = gather_coo_batch(cstore, jnp.asarray(idx))
+    compact = collate([dataset[i] for i in idx])
+    state, _ = create_train_state(model, compact, jax.random.PRNGKey(2),
+                                  1e-3)
+    step = make_eval_step(model, "cross_entropy")
+    m1 = step(state, compact)
+    m2 = step(state, gathered)
+    assert float(m1["count"]) == float(m2["count"]) == 5.0
+    np.testing.assert_allclose(float(m2["loss_sum"]),
+                               float(m1["loss_sum"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m2["correct"]),
+                               float(m1["correct"]), rtol=0)
+
+
+def test_coo_resident_trainer_matches_per_batch(dataset):
+    """Trainer on coo loaders, resident on vs off, shuffle disabled:
+    matching epoch histories (layouts differ, numerics must not)."""
+    results = {}
+    for mode in ("on", "off"):
+        model = make_model(model_cfg())
+        loader = GraphLoader(dataset, batch_size=8, shuffle=False,
+                             mode="coo")
+        val = GraphLoader(dataset, batch_size=8, mode="coo")
+        cfg = TrainConfig(lr=5e-3, num_epochs=3, batch_size=8,
+                          loss="cross_entropy", patience=50)
+        tr = Trainer(model, cfg, loss="cross_entropy", metric_mode="max",
+                     resident=mode)
+        _, res = tr.fit(loader, val, val, rng=jax.random.PRNGKey(3))
+        results[mode] = res
+    for a, b in zip(results["on"]["history"], results["off"]["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=5e-5)
+        np.testing.assert_allclose(a["val_accuracy"], b["val_accuracy"],
+                                   rtol=0)
+
+
+def test_coo_resident_parallel_epoch(dataset):
+    """COO store through the mesh scan epoch: count exact, loss finite."""
+    from kpgnn_tpu.parallel import make_mesh
+    from kpgnn_tpu.train import (make_parallel_resident_train_epoch,
+                                 parallel_epoch_index_chunks)
+    from kpgnn_tpu.train.resident import build_coo_store, gather_coo_batch
+
+    cstore = build_coo_store(dataset)
+    model = make_model(model_cfg())
+    mesh = make_mesh(4)
+    chunks = parallel_epoch_index_chunks(np.arange(len(dataset)), 4, 4,
+                                         cstore.num_graphs)
+    example = gather_coo_batch(cstore, jnp.asarray(chunks[0, 0]))
+    state, tx = create_train_state(model, example, jax.random.PRNGKey(1),
+                                   1e-3)
+    ep = make_parallel_resident_train_epoch(model, tx, mesh,
+                                            "cross_entropy")
+    state, lsum, cnt = ep(state, cstore, jnp.asarray(chunks),
+                          jax.random.PRNGKey(7))
+    assert float(cnt) == len(dataset)
+    assert np.isfinite(float(lsum))
+
+
 def test_parallel_resident_epoch_matches_dp_loop(dataset, store):
     """One-dispatch mesh epoch == the per-super-batch dp loop on the
     identical batch composition (shared parallel_train_step_body)."""
