@@ -74,6 +74,14 @@ class HopCSR:
     tile_r: int = struct.field(pytree_node=False, default=TILE_R)
 
 
+def _buf_rows(max_chunks: int) -> int:
+    """Scratch height for one tile's bulk sender DMA: max_chunks rounded
+    up to 8 sublanes (Mosaic dynamic-slice alignment).  _build_one pads
+    senders2d with this many null tail rows so the copy stays in
+    bounds."""
+    return max(8, ((max_chunks + 7) // 8) * 8)
+
+
 def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
     """TPU-safe one-hot (broadcasted_iota, no 1-D arange)."""
     iota = jax.lax.broadcasted_iota(
@@ -99,16 +107,22 @@ def _kernel(max_chunks, precision, win_rows, col_off, tile_r, tile_e,
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    # ONE bulk DMA per output tile: all of this tile's sender chunks
+    # land in sbuf up front (rows past e_hi are the null rows _build_one
+    # appends).  The previous per-chunk (1, tile_e) copies paid an HBM
+    # round-trip latency *inside* every loop iteration; batching them
+    # turns max_chunks blocking waits into one.
+    row0 = e_lo // tile_e
+    dma = pltpu.make_async_copy(
+        senders2d_hbm.at[pl.ds(row0, sbuf.shape[0]), :], sbuf, sem)
+    dma.start()
+    dma.wait()
+
     for c in range(max_chunks):
         off = e_lo + c * tile_e
 
         @pl.when(off < e_hi)
         def _():
-            row = off // tile_e
-            dma = pltpu.make_async_copy(
-                senders2d_hbm.at[pl.ds(row, 1), :], sbuf, sem)
-            dma.start()
-            dma.wait()
             # sender gather as a one-hot matmul against this tile's
             # window of the VMEM-resident node table (row-DMA loops and
             # dynamic VMEM loads are latency-bound; this rides the MXU)
@@ -116,7 +130,7 @@ def _kernel(max_chunks, precision, win_rows, col_off, tile_r, tile_e,
             # row range; senders outside [w_lo, w_lo + win_rows) miss
             # every iota column and contribute zero (that is also the
             # streaming fallback's masking and the null-padding path)
-            codes_col = (jnp.transpose(sbuf[...])
+            codes_col = (jnp.transpose(sbuf[pl.ds(c, 1), :])
                          - col_off - w_lo)                    # (tile_e, 1)
             s_oh = (codes_col == jax.lax.broadcasted_iota(
                 jnp.int32, (tile_e, win_rows), 1)).astype(jnp.float32)
@@ -174,7 +188,10 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
             ],
             out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, tile_e), jnp.int32),
+                # all sender chunks of one tile, bulk-DMA'd per grid step;
+                # rounded to 8 sublanes (Mosaic slice alignment) — must
+                # match the null-row padding in _build_one
+                pltpu.VMEM((_buf_rows(csr.max_chunks), tile_e), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
@@ -265,8 +282,15 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         indptr[n_nodes] = 0
     # tile t's padded segment length = next tile start - this tile start
     starts = [int(indptr[t * tile_r]) for t in range(n_tiles)] + [int(pos)]
-    max_chunks = max(
-        (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles))
+    max_chunks = max(max(
+        (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles)), 1)
+    # null tail rows so every tile's bulk sender DMA window
+    # [e_lo/tile_e, e_lo/tile_e + _buf_rows(max_chunks)) is in bounds —
+    # the kernel copies the full scratch height regardless of e_hi
+    extra = _buf_rows(max_chunks) * tile_e
+    flat = np.concatenate([flat, np.full(extra, n_nodes - 1, np.int64)])
+    flat_aux = [np.concatenate([a, np.full(extra, pv, np.int64)])
+                for a, (_, pv) in zip(flat_aux, aux)]
     csr = HopCSR(
         indptr=jnp.asarray(indptr.astype(np.int32)),
         senders2d=jnp.asarray(flat.astype(np.int32).reshape(-1, tile_e)),
@@ -275,7 +299,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         row_ends=jnp.asarray(indptr[1:].astype(np.int32)
                              .reshape(n_nodes, 1)),
         win_lo=jnp.asarray(win_lo.astype(np.int32)),
-        max_chunks=max(max_chunks, 1),
+        max_chunks=max_chunks,
         win_rows=win_rows,
         tile_r=tile_r,
     )
