@@ -317,16 +317,21 @@ def collate_pallas(
     y_is_node_level: bool = False,
     tile_r: Optional[int] = None,
     tile_e: Optional[int] = None,
+    wblock: Optional[int] = None,
+    egroup: Optional[int] = None,
 ) -> GraphBatch:
-    """COO collation whose adjacency is a per-hop Pallas kernel plan
-    (ops/pallas_spmm.py) — the fast sparse backend for sum-aggregating
-    layer families (KPGIN / KPGINPlus / GINE).  tile_r/tile_e override
-    the kernel grid geometry (multiples of 128; n_pad is raised to a
+    """COO collation whose adjacency is a fused-hop Pallas kernel plan
+    (ops/pallas_spmm.py) — the fast sparse backend for every layer
+    family.  tile_r/tile_e/wblock/egroup override the kernel grid
+    geometry (multiples of 128 / chunks per matmul; n_pad is raised to a
     tile_r multiple)."""
-    from ..ops.pallas_spmm import TILE_E, TILE_R, build_plan
+    from ..ops.pallas_spmm import (EGROUP, TILE_E, TILE_R, WBLOCK,
+                                   build_plan)
 
     tile_r = tile_r or TILE_R
     tile_e = tile_e or TILE_E
+    wblock = wblock or WBLOCK
+    egroup = egroup or EGROUP
     if n_pad is not None:
         n_pad = ((n_pad + tile_r - 1) // tile_r) * tile_r
     elif tile_r > 128:
@@ -339,7 +344,7 @@ def collate_pallas(
     plan = build_plan(
         np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
         np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
-        tile_r=tile_r, tile_e=tile_e)
+        tile_r=tile_r, tile_e=tile_e, wblock=wblock, egroup=egroup)
     return batch.replace(adj=plan)
 
 

@@ -9,19 +9,29 @@ a host-precomputed histogram matmul `counts @ table` (MXU, differentiable
 in the tables for free).  The data part is a pure gather + segment-sum —
 this module's Pallas kernel.
 
-Two structural moves make the kernel MXU-shaped instead of
+Three structural moves make the kernel MXU-shaped instead of
 gather/scatter-shaped:
 
-* one *filtered, receiver-sorted* CSR per hop (for the SPD kernel every
-  union edge is live at exactly one hop, so the per-hop lists together
-  are no larger than the original edge list) — the per-(edge,hop) mask
-  disappears;
-* both the gather and the scatter become one-hot matmuls:
-      out_tile = one_hot(local_recv)^T @ (one_hot(sender) @ X)
-  with X resident in VMEM.  A TPU reads a random 512-byte row from HBM at
-  ~mu-s latency, so E row-DMAs are latency-bound; the one-hot contraction
-  runs at MXU rate and wins by orders of magnitude for any batch whose
-  node table fits VMEM (asserted).
+* **hop fusion** — all K hops live in one CSR over a hop-major virtual
+  row space of size K*N (hop-k edge s -> r becomes k*N+s -> k*N+r), so
+  one kernel dispatch covers the whole aggregation instead of K
+  dispatches forward + K backward per layer (for the SPD kernel every
+  union edge is live at exactly one hop, so the fused edge list is no
+  larger than the union edge list);
+* both the gather and the scatter become **one-hot matmuls**:
+      out_tile = one_hot(local_recv)^T @ (one_hot(sender) @ X_window)
+  A TPU reads a random 512-byte row from HBM at ~mu-s latency, so E
+  row-DMAs are latency-bound; the one-hot contraction runs at MXU rate;
+* all HBM traffic (sender-id chunks and the per-tile node-table window)
+  is **double-buffered across grid steps**: tile i+1's copies start
+  before tile i's matmuls, so the DMA latency hides behind compute.
+  The node table itself stays in HBM — per-tile windows are the only
+  VMEM residency, which removes any node-table size limit.
+
+Per-tile work is proportional to the tile's *own* sender-window span
+(predicated window sub-blocks of `wblock` rows), not to a global
+max-window: one tile straddling a graph boundary no longer inflates
+every tile's contraction width.
 
 Grid: output row tiles; CSR indptr rides in as scalar prefetch
 (PrefetchScalarGridSpec); per-tile edge segments are host-padded to
@@ -36,7 +46,7 @@ scatter-add inside PyG MessagePassing).
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,111 +57,204 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 128          # receiver rows per grid step
 TILE_E = 128          # edges per inner chunk
-VMEM_X_LIMIT = 8 * 1024 * 1024   # max bytes of node table kept in VMEM
+WBLOCK = 512          # sender-window rows per predicated sub-block
+EGROUP = 4            # chunks fused per matmul pair
+# (tile_r=256, wblock=512, egroup=4 measured optimal on v5e for molecule
+# batches — 160.8M union-edges/s fwd; tile_r defaults to 128 only so
+# n_pad geometry stays stable for small fixtures.  scripts/tune_pallas.py
+# re-measures on new hardware.)
+# double-buffered scratch budget (sender chunks + x windows);
+# VMEM is ~16 MB/core and the pipeline also holds in/out blocks
+VMEM_SCRATCH_LIMIT = 10 * 1024 * 1024
+# node tables at most this big stay fully VMEM-resident (no window DMA)
+VMEM_X_RESIDENT_LIMIT = 9 * 1024 * 1024
 
 
 @struct.dataclass
 class HopCSR:
-    """One hop's live edges, receiver-sorted, tile-aligned."""
+    """Fused-hop live edges, receiver-sorted, tile-aligned.
 
-    indptr: jnp.ndarray        # (N+1,) int32 into the padded edge list
+    Rows live in the hop-major virtual space [0, n_hops * n_nodes); row
+    k*N + i is node i's hop-k slot.  Null alignment edges point at the
+    last row (zero-forced by the kernel contract)."""
+
+    indptr: jnp.ndarray        # (R+1,) int32 into the padded edge list
     senders2d: jnp.ndarray     # (E_pad/TILE_E, TILE_E) int32
-    row_starts: jnp.ndarray    # (N, 1) int32 == indptr[:-1]
-    row_ends: jnp.ndarray      # (N, 1) int32 == indptr[1:]
+    row_starts: jnp.ndarray    # (R, 1) int32 == indptr[:-1]
+    row_ends: jnp.ndarray      # (R, 1) int32 == indptr[1:]
     # per receiver tile: 128-aligned start of the sender-id window that
-    # covers every live edge of the tile.  Batches are graph-sorted and
-    # edges intra-graph, so the window is ~TILE_R + one graph instead of
-    # the whole node table — the gather one-hot contraction shrinks from
-    # (TILE_E, N) to (TILE_E, win_rows), cutting MXU work by N/win_rows.
+    # covers every live edge of the tile, and the number of wblock-row
+    # sub-blocks the kernel must contract for this tile.  Batches are
+    # graph-sorted and edges intra-graph, so windows are ~TILE_R + one
+    # graph instead of the whole node table — and each tile only pays
+    # for its own span.
     win_lo: jnp.ndarray        # (n_tiles,) int32
+    win_blk: jnp.ndarray       # (n_tiles,) int32
     # static: a traced chunk bound would lower to Mosaic's serializing
     # while-loop (see _kernel)
     max_chunks: int = struct.field(pytree_node=False)
-    win_rows: int = struct.field(pytree_node=False)   # static window size
-    # tile geometry this CSR was built for (tile_e is also encoded in
-    # senders2d.shape[1]); both must be multiples of 128 — lane width for
-    # the edge axis, and the window-start `pl.multiple_of` hint for rows
+    max_wblocks: int = struct.field(pytree_node=False)
+    wblock: int = struct.field(pytree_node=False, default=WBLOCK)
+    # chunks fused per matmul pair: the sender contraction becomes
+    # (egroup*tile_e, wblock) @ (wblock, D) — bigger matmuls lift MXU
+    # utilization out of the small-matmul regime at the cost of more
+    # null-edge padding per tile (segments pad to egroup*tile_e)
+    egroup: int = struct.field(pytree_node=False, default=1)
+    # tile geometry (tile_e is also encoded in senders2d.shape[1]); both
+    # must be multiples of 128 — lane width for the edge axis, and the
+    # window-start `pl.multiple_of` hint for rows
     tile_r: int = struct.field(pytree_node=False, default=TILE_R)
+    # padded-edge offset at each hop boundary (indptr[(k+1)*N]); lets
+    # slice_hops cut the flat arrays with static shapes
+    hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
+                                             default=())
+
+    @property
+    def n_rows(self) -> int:
+        return self.row_starts.shape[0]
 
 
 def _buf_rows(max_chunks: int) -> int:
-    """Scratch height for one tile's bulk sender DMA: max_chunks rounded
-    up to 8 sublanes (Mosaic dynamic-slice alignment).  _build_one pads
-    senders2d with this many null tail rows so the copy stays in
-    bounds."""
+    """Scratch height for one tile's sender-chunk window: max_chunks
+    rounded up to 8 sublanes (Mosaic dynamic-slice alignment).
+    _build_one pads senders2d with this many null tail rows so the
+    copies stay in bounds."""
     return max(8, ((max_chunks + 7) // 8) * 8)
 
 
-def _one_hot(codes: jnp.ndarray, V: int) -> jnp.ndarray:
-    """TPU-safe one-hot (broadcasted_iota, no 1-D arange)."""
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, codes.shape + (V,), codes.ndim)
-    return (codes[..., None] == iota).astype(jnp.float32)
-
-
-def _kernel(max_chunks, precision, win_rows, col_off, tile_r, tile_e,
-            indptr_ref, wlo_ref,
-            senders2d_hbm, x_ref, starts_ref, ends_ref, out_ref, sbuf, sem):
+def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
+            egroup, x_resident,
+            indptr_ref, wlo_ref, wblk_ref,
+            senders2d_hbm, x_hbm, starts_ref, ends_ref, out_ref,
+            *scratch):
     # CRITICAL Mosaic behavior (measured): a fori_loop with a *traced*
     # trip count lowers to a serializing while-loop at ~1 ms/iteration;
     # the same body under a static python loop with pl.when predication
-    # runs at ~8 us/iteration.  So the chunk count is a static bound and
-    # empty chunks are predicated off.
+    # runs orders of magnitude faster.  So every loop below has a static
+    # bound and empty iterations are predicated off.
+    if x_resident:
+        sbuf, ssem = scratch
+        xbuf = xsem = None
+    else:
+        sbuf, xbuf, ssem, xsem = scratch
     i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    buf = sbuf.shape[0] // 2           # sender rows per slot
+    n_sb = buf // 8                    # 8-row sender sub-copies per slot
+    xrows = 0 if x_resident else xbuf.shape[0] // 2  # window rows per slot
+
+    def tile_dmas(slot, t):
+        """The (copy, live-predicate) list for tile t into buffer slot
+        `slot` — reconstructed identically at start and wait time."""
+        r0 = t * tile_r
+        e_lo = indptr_ref[r0]
+        chunks = (indptr_ref[r0 + tile_r] - e_lo) // tile_e
+        nsb = (chunks + 7) // 8
+        row0 = e_lo // tile_e
+        s_off = slot * buf
+        dmas = [(pltpu.make_async_copy(
+                    senders2d_hbm.at[pl.ds(row0 + sb * 8, 8), :],
+                    sbuf.at[pl.ds(s_off + sb * 8, 8), :],
+                    ssem.at[slot, sb]), sb < nsb)
+                for sb in range(n_sb)]
+        if not x_resident:
+            # node table in HBM: copy this tile's window blocks too
+            w_lo = pl.multiple_of(wlo_ref[t], 128)
+            nb = wblk_ref[t]
+            x_off = slot * xrows
+            dmas += [(pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(w_lo + b * wblock, wblock), :],
+                        xbuf.at[pl.ds(x_off + b * wblock, wblock), :],
+                        xsem.at[slot, b]), b < nb)
+                     for b in range(max_wblocks)]
+        return dmas
+
+    def start_tile(slot, t):
+        for dma, live in tile_dmas(slot, t):
+            pl.when(live)(dma.start)
+
+    def wait_tile(slot, t):
+        for dma, live in tile_dmas(slot, t):
+            pl.when(live)(dma.wait)
+
+    slot = jax.lax.rem(i, 2)
+
+    # double-buffer: tile i+1's sender chunks and x window start copying
+    # before tile i's matmuls run, so every step's DMA latency hides
+    # behind the previous step's compute (except the warm-up tile)
+    @pl.when(i == 0)
+    def _():
+        start_tile(0, 0)
+
+    @pl.when(i + 1 < nt)
+    def _():
+        start_tile(jax.lax.rem(i + 1, 2), i + 1)
+
+    wait_tile(slot, i)
+
     r0 = i * tile_r
     e_lo = indptr_ref[r0]              # multiple of tile_e by construction
     e_hi = indptr_ref[r0 + tile_r]
-    w_lo = pl.multiple_of(wlo_ref[i], 128)   # w_lo + win_rows <= N
+    w_lo = pl.multiple_of(wlo_ref[i], 128)
+    nb = wblk_ref[i]
+    s_off = slot * buf
+    x_off = slot * xrows
     starts_col = starts_ref[...]                              # (tile_r, 1)
     ends_col = ends_ref[...]                                  # (tile_r, 1)
 
+    def x_block(b):
+        # resident: slice the VMEM node table at the tile's window; DMA'd:
+        # read the prefetched copy (block b sits at x_off + b*wblock)
+        if x_resident:
+            return x_hbm[pl.ds(w_lo + b * wblock, wblock), :]
+        return xbuf[pl.ds(x_off + b * wblock, wblock), :]
+
     out_ref[...] = jnp.zeros_like(out_ref)
 
-    # ONE bulk DMA per output tile: all of this tile's sender chunks
-    # land in sbuf up front (rows past e_hi are the null rows _build_one
-    # appends).  The previous per-chunk (1, tile_e) copies paid an HBM
-    # round-trip latency *inside* every loop iteration; batching them
-    # turns max_chunks blocking waits into one.
-    row0 = e_lo // tile_e
-    dma = pltpu.make_async_copy(
-        senders2d_hbm.at[pl.ds(row0, sbuf.shape[0]), :], sbuf, sem)
-    dma.start()
-    dma.wait()
-
-    for c in range(max_chunks):
-        off = e_lo + c * tile_e
+    ge = egroup * tile_e               # edges per matmul pair
+    for c in range(max_chunks // egroup):
+        off = e_lo + c * ge
 
         @pl.when(off < e_hi)
-        def _():
+        def _(c=c, off=off):
             # sender gather as a one-hot matmul against this tile's
-            # window of the VMEM-resident node table (row-DMA loops and
-            # dynamic VMEM loads are latency-bound; this rides the MXU)
-            # col_off shifts sender ids into this node-table shard's local
-            # row range; senders outside [w_lo, w_lo + win_rows) miss
-            # every iota column and contribute zero (that is also the
-            # streaming fallback's masking and the null-padding path)
-            codes_col = (jnp.transpose(sbuf[pl.ds(c, 1), :])
-                         - col_off - w_lo)                    # (tile_e, 1)
-            s_oh = (codes_col == jax.lax.broadcasted_iota(
-                jnp.int32, (tile_e, win_rows), 1)).astype(jnp.float32)
-            sx = jax.lax.dot_general(
-                s_oh, x_ref[pl.ds(w_lo, win_rows), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)           # (tile_e, D)
-
+            # window of the node table, one wblock sub-block at a time —
+            # per-tile cost is proportional to the tile's own span, not
+            # to the widest tile in the batch.  Senders outside every
+            # copied block miss all iota columns and contribute zero
+            # (that is also the null-padding path).
+            codes_col = jnp.concatenate(
+                [jnp.transpose(sbuf[pl.ds(s_off + c * egroup + j, 1), :])
+                 for j in range(egroup)], axis=0) - w_lo       # (ge, 1)
             # receiver membership as a pure elementwise range test —
             # row r owns edges [indptr[r], indptr[r+1]); no cross-lane
             # reductions anywhere in the kernel
             eidx = off + jax.lax.broadcasted_iota(
-                jnp.int32, (1, tile_e), 1)                    # (1, tile_e)
+                jnp.int32, (1, ge), 1)                        # (1, ge)
             ohr_t = ((eidx >= starts_col) & (eidx < ends_col)
-                     ).astype(jnp.float32)                    # (tile_r,tile_e)
-            out_ref[...] += jax.lax.dot_general(
-                ohr_t, sx,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)
+                     ).astype(jnp.float32)                    # (tile_r, ge)
+            # everything below is a pure value chain (no scratch refs):
+            # Mosaic keeps the intermediates in vregs and pipelines the
+            # two matmuls per block — routing the sender gather through
+            # a VMEM accumulator measured ~20% slower
+            for b in range(max_wblocks):
+                @pl.when(b < nb)
+                def _(b=b):
+                    xb = x_block(b)
+                    cc = codes_col - b * wblock
+                    s_oh = (cc == jax.lax.broadcasted_iota(
+                        jnp.int32, (ge, wblock), 1)
+                            ).astype(xb.dtype)   # exact in bf16 (0/1)
+                    sx = jax.lax.dot_general(
+                        s_oh, xb,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)   # (tile_e, D)
+                    out_ref[...] += jax.lax.dot_general(
+                        ohr_t, sx,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
 
 
 def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
@@ -159,9 +262,10 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
                        precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
 
-    x: (N, D) float32, N % csr.tile_r == 0.  Row N-1 must be a padding
-    slot (it is zeroed here — null alignment edges point at it).  The
-    feature dim pads to the 128-lane tile internally.
+    x: (R, D) float32, R == csr.n_rows (R % csr.tile_r == 0).  Row R-1
+    must be a padding slot (it is zeroed here — null alignment edges
+    point at it).  The feature dim pads to the 128-lane tile and the row
+    dim gains `wblock` zero rows internally (window overhang).
     """
     if interpret is None:
         # Mosaic only lowers on TPU; on CPU run the kernel in interpret
@@ -171,55 +275,76 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     tile_e = csr.senders2d.shape[1]
     n, D_in = x.shape
     D = ((D_in + 127) // 128) * 128
-    assert n % tile_r == 0, f"n_pad {n} must divide by {tile_r}"
+    assert n % tile_r == 0, f"n_rows {n} must divide by {tile_r}"
+    assert n == csr.n_rows, (n, csr.n_rows)
     x = x.at[n - 1].set(0.0)
-    if D != D_in:
-        x = jnp.pad(x, ((0, 0), (0, D - D_in)))
+    # `wblock` zero overhang rows: per-tile windows are block-quantized,
+    # so the last block of a tile near the table end may read past R
+    x = jnp.pad(x, ((0, csr.wblock), (0, D - D_in)))
+    if precision in (jax.lax.Precision.DEFAULT, None) and not interpret:
+        # the MXU rounds f32 inputs to bf16 at DEFAULT precision anyway,
+        # so bf16 storage is bit-identical while halving VMEM and DMA
+        # (interpret mode keeps f32: CPU dots don't round, and tests
+        # compare against f32 oracles)
+        x = x.astype(jnp.bfloat16)
+    xbytes = x.dtype.itemsize
 
-    def call(x_shard, col_off, wlo, win_rows):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n // tile_r,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),               # senders2d
-                pl.BlockSpec(memory_space=pltpu.VMEM),           # x shard
-                pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row starts
-                pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row ends
-            ],
-            out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
-            scratch_shapes=[
-                # all sender chunks of one tile, bulk-DMA'd per grid step;
-                # rounded to 8 sublanes (Mosaic slice alignment) — must
-                # match the null-row padding in _build_one
-                pltpu.VMEM((_buf_rows(csr.max_chunks), tile_e), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(_kernel, csr.max_chunks, precision,
-                              win_rows, col_off, tile_r, tile_e),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
-            interpret=interpret,
-        )(csr.indptr, wlo, csr.senders2d, x_shard,
-          csr.row_starts, csr.row_ends)
+    buf = _buf_rows(csr.max_chunks)
+    # keep the whole node table VMEM-resident when it fits (no per-tile
+    # window DMA at all — the hot path for molecule-scale batches);
+    # otherwise it stays in HBM and per-tile windows are double-buffered
+    x_resident = (n + csr.wblock) * D * xbytes <= VMEM_X_RESIDENT_LIMIT
+    scratch_shapes = [pltpu.VMEM((2 * buf, tile_e), jnp.int32)]
+    if not x_resident:
+        scratch_shapes.append(
+            pltpu.VMEM((2 * csr.max_wblocks * csr.wblock, D), x.dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2, buf // 8)))
+    if not x_resident:
+        scratch_shapes.append(
+            pltpu.SemaphoreType.DMA((2, csr.max_wblocks)))
+    scratch_bytes = (2 * buf * tile_e * 4
+                     + (0 if x_resident
+                        else 2 * csr.max_wblocks * csr.wblock * D * xbytes))
+    if scratch_bytes > VMEM_SCRATCH_LIMIT:
+        raise ValueError(
+            f"kernel scratch {scratch_bytes/2**20:.1f} MiB exceeds "
+            f"{VMEM_SCRATCH_LIMIT/2**20:.0f} MiB (max_chunks="
+            f"{csr.max_chunks}, max_wblocks={csr.max_wblocks}, "
+            f"wblock={csr.wblock}, D={D}); the batch has a receiver tile "
+            "with a huge edge segment or sender span — reorder nodes "
+            "(BFS/RCM) to shrink spans, raise wblock, or use the COO "
+            "backend for this batch")
 
-    if n * D * 4 <= VMEM_X_LIMIT:
-        out = call(x, 0, csr.win_lo, min(csr.win_rows, n))
-    else:
-        # streaming fallback: keep one node-table shard in VMEM at a time;
-        # out-of-shard senders vanish from the one-hot, so the per-shard
-        # outputs just sum (windows disabled: window/shard intersection
-        # bookkeeping is not worth it on this slow path)
-        rows = max(tile_r, (VMEM_X_LIMIT // (D * 4)) // tile_r * tile_r)
-        zero = jnp.zeros_like(csr.win_lo)
-        out = sum(call(x[s:s + rows], s, zero, min(rows, n - s))
-                  for s in range(0, n, rows))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n // tile_r,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # senders2d
+            pl.BlockSpec(memory_space=(pltpu.VMEM if x_resident
+                                       else pl.ANY)),        # node table
+            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row starts
+            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row ends
+        ],
+        out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
+        # two slots each (double buffering): sender-id chunks and (HBM
+        # mode) the node-table window; rank-2 with slot row offsets
+        # (dynamic leading-index rank-3 addressing is shakier in Mosaic)
+        scratch_shapes=scratch_shapes,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, csr.max_chunks, csr.max_wblocks,
+                          csr.wblock, precision, tile_r, tile_e,
+                          csr.egroup, x_resident),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+        interpret=interpret,
+    )(csr.indptr, csr.win_lo, csr.win_blk, csr.senders2d, x,
+      csr.row_starts, csr.row_ends)
     return out[:, :D_in] if D != D_in else out
 
 
 def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
-               tile_e=TILE_E, aux=()) -> HopCSR:
+               tile_e=TILE_E, wblock=WBLOCK, egroup=1, aux=()) -> HopCSR:
     """Receiver-sorted CSR whose per-row-tile edge segments are padded to
     TILE_E multiples with null edges (sender = n_nodes-1, contribution
     forced to zero by the kernel).
@@ -228,6 +353,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     and padded alongside the senders; returns (csr, [flat_aux, ...]) then.
     """
     assert tile_r % 128 == 0 and tile_e % 128 == 0, (tile_r, tile_e)
+    assert wblock % 128 == 0, wblock
     order = np.argsort(receivers, kind="stable")
     receivers = np.asarray(receivers)[order]
     senders = np.asarray(senders)[order]
@@ -242,7 +368,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     tile_lo = raw_indptr[:-1:tile_r]                        # (n_tiles,)
     tile_hi = raw_indptr[tile_r::tile_r]                    # (n_tiles,)
     seg_len = tile_hi - tile_lo
-    pad_len = (-seg_len) % tile_e
+    pad_len = (-seg_len) % (tile_e * egroup)
     starts_padded = np.zeros(n_tiles, np.int64)
     if n_tiles:
         starts_padded[1:] = np.cumsum(seg_len + pad_len)[:-1]
@@ -251,14 +377,18 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     indptr[:n_nodes] = raw_indptr[:n_nodes] + np.repeat(shift, tile_r)
     pos = int((seg_len + pad_len).sum())
     indptr[n_nodes] = pos
-    # per-tile sender window (graph-sorted batches make these narrow)
+    # per-tile sender window (graph-sorted batches make these narrow);
+    # win_blk quantizes each tile's span to wblock rows so kernel work is
+    # proportional to the tile's own span (the x array carries a wblock
+    # zero overhang, so no clamping near the table end is needed)
     wlo_raw = np.zeros(n_tiles, np.int64)
-    wspan = np.zeros(n_tiles, np.int64)
+    wblk = np.zeros(n_tiles, np.int64)
     for t in range(n_tiles):
         seg = senders[tile_lo[t]:tile_hi[t]]
         if len(seg):
-            wlo_raw[t] = (int(seg.min()) // tile_r) * tile_r
-            wspan[t] = int(seg.max()) + 1 - wlo_raw[t]
+            wlo_raw[t] = (int(seg.min()) // 128) * 128
+            span = int(seg.max()) + 1 - wlo_raw[t]
+            wblk[t] = -(-span // wblock)
         seg_senders.append(seg)
         if pad_len[t]:
             seg_senders.append(np.full(pad_len[t], n_nodes - 1,
@@ -267,26 +397,24 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
             seg_aux[j].append(a[tile_lo[t]:tile_hi[t]])
             if pad_len[t]:
                 seg_aux[j].append(np.full(pad_len[t], pv, a.dtype))
-    win_rows = int(min(n_nodes,
-                       max(tile_r, -(-int(wspan.max()) // tile_r) * tile_r)
-                       if n_tiles else tile_r))
-    win_lo = np.minimum(wlo_raw, n_nodes - win_rows)
+    max_wblocks = int(max(1, wblk.max() if n_tiles else 1))
     flat = (np.concatenate(seg_senders) if seg_senders
             else np.zeros(0, np.int64))
     flat_aux = [np.concatenate(s) if s else np.zeros(0, np.int64)
                 for s in seg_aux]
     if len(flat) == 0:
-        flat = np.full(tile_e, n_nodes - 1, np.int64)
-        flat_aux = [np.full(tile_e, pv, np.int64) for _, pv in aux]
-        pos = tile_e
+        flat = np.full(tile_e * egroup, n_nodes - 1, np.int64)
+        flat_aux = [np.full(tile_e * egroup, pv, np.int64) for _, pv in aux]
+        pos = tile_e * egroup
         indptr[n_nodes] = 0
     # tile t's padded segment length = next tile start - this tile start
+    # (a multiple of egroup*tile_e, so max_chunks divides by egroup)
     starts = [int(indptr[t * tile_r]) for t in range(n_tiles)] + [int(pos)]
     max_chunks = max(max(
-        (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles)), 1)
-    # null tail rows so every tile's bulk sender DMA window
-    # [e_lo/tile_e, e_lo/tile_e + _buf_rows(max_chunks)) is in bounds —
-    # the kernel copies the full scratch height regardless of e_hi
+        (starts[t + 1] - starts[t]) // tile_e for t in range(n_tiles)),
+        egroup)
+    # null tail rows so every tile's sender-chunk copies
+    # [e_lo/tile_e, e_lo/tile_e + _buf_rows(max_chunks)) are in bounds
     extra = _buf_rows(max_chunks) * tile_e
     flat = np.concatenate([flat, np.full(extra, n_nodes - 1, np.int64)])
     flat_aux = [np.concatenate([a, np.full(extra, pv, np.int64)])
@@ -298,10 +426,13 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
                                .reshape(n_nodes, 1)),
         row_ends=jnp.asarray(indptr[1:].astype(np.int32)
                              .reshape(n_nodes, 1)),
-        win_lo=jnp.asarray(win_lo.astype(np.int32)),
+        win_lo=jnp.asarray(wlo_raw.astype(np.int32)),
+        win_blk=jnp.asarray(wblk.astype(np.int32)),
         max_chunks=max_chunks,
-        win_rows=win_rows,
+        max_wblocks=max_wblocks,
+        wblock=wblock,
         tile_r=tile_r,
+        egroup=egroup,
     )
     if aux:
         return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]
@@ -310,20 +441,20 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
 
 @struct.dataclass
 class KHopPallasPlan:
-    """Per-hop forward/backward CSRs + embedding count histograms.
+    """Fused forward/backward CSRs + embedding count histograms.
 
     Doubles as a GraphBatch adjacency backend ("pallas" collate mode).
     """
 
-    fwd: Tuple[HopCSR, ...]         # per hop, receiver-sorted live edges
-    bwd: Tuple[HopCSR, ...]         # per hop, sender-sorted (transpose)
+    fwd: HopCSR                     # fused hops, receiver-sorted
+    bwd: HopCSR                     # fused transpose (sender-sorted)
     counts1: jnp.ndarray            # (N, V1) hop-1 attr histogram
     countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) | None
-    # per hop, aligned with fwd[k].senders2d.reshape(-1): receiver id and
-    # attr code of every padded edge (pad: receiver N-1, code 0) — only
-    # needed for sender-scaled embeddings (GCN norm)
-    hop_recv: Tuple[jnp.ndarray, ...] = ()
-    hop_code: Tuple[jnp.ndarray, ...] = ()
+    # aligned with fwd.senders2d.reshape(-1): hop-major receiver row id
+    # and attr code of every padded edge (pad: receiver K*N-1, code 0) —
+    # only needed for sender-scaled embeddings (GCN norm)
+    edge_recv: jnp.ndarray
+    edge_code: jnp.ndarray
     # (N,) union in-degree over real edges regardless of hop mask (the
     # reference's PyG mean denominator); slice_hops keeps it because the
     # union edge list does not shrink when hop columns are sliced
@@ -331,20 +462,41 @@ class KHopPallasPlan:
     # (N, K) per-hop live in-degree (CSR row extents are tile-padded on
     # the last row of each tile, so the exact counts are stored directly)
     hop_deg: Optional[jnp.ndarray] = None
+    n_hops: int = struct.field(pytree_node=False, default=1)
 
     @property
     def K(self) -> int:
-        return len(self.fwd)
+        return self.n_hops
 
     def slice_hops(self, k: int) -> "KHopPallasPlan":
+        n = self.counts1.shape[0]
+        tile_e = self.fwd.senders2d.shape[1]
+
+        def cut(csr: HopCSR) -> HopCSR:
+            rows = (csr.hop_ends[k - 1] // tile_e
+                    + _buf_rows(csr.max_chunks))
+            nt = (k * n) // csr.tile_r
+            return csr.replace(
+                indptr=csr.indptr[:k * n + 1],
+                senders2d=csr.senders2d[:rows],
+                row_starts=csr.row_starts[:k * n],
+                row_ends=csr.row_ends[:k * n],
+                win_lo=csr.win_lo[:nt],
+                win_blk=csr.win_blk[:nt],
+                hop_ends=csr.hop_ends[:k])
+
+        fwd = cut(self.fwd)
+        flat_len = fwd.senders2d.shape[0] * tile_e
         return KHopPallasPlan(
-            fwd=self.fwd[:k], bwd=self.bwd[:k],
+            fwd=fwd, bwd=cut(self.bwd),
             counts1=self.counts1,
             countsk=(self.countsk[:, :k - 1] if k > 1 else None),
-            hop_recv=self.hop_recv[:k], hop_code=self.hop_code[:k],
+            edge_recv=self.edge_recv[:flat_len],
+            edge_code=self.edge_code[:flat_len],
             union_deg=self.union_deg,
             hop_deg=(self.hop_deg[:, :k]
                      if self.hop_deg is not None else None),
+            n_hops=k,
         )
 
     def degree(self) -> jnp.ndarray:
@@ -352,38 +504,50 @@ class KHopPallasPlan:
 
 
 def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
-               tile_r: int = TILE_R, tile_e: int = TILE_E
-               ) -> KHopPallasPlan:
-    """Host-side plan: filter live edges per hop, sort both directions,
-    histogram attr codes per receiver.  tile_r sets the kernel's grid
-    geometry (multiple of 128; sweepable for throughput tuning — n_pad
-    must divide by tile_r).
+               tile_r: int = TILE_R, tile_e: int = TILE_E,
+               wblock: int = WBLOCK, egroup: int = EGROUP,
+               for_interpret: bool = False) -> KHopPallasPlan:
+    """Host-side plan: filter live edges per hop, fuse them into one
+    hop-major CSR per direction, histogram attr codes per receiver.
+    tile_r sets the kernel's grid geometry and wblock the window
+    sub-block height (multiples of 128; sweepable for throughput tuning
+    — n_pad must divide by tile_r).
 
-    tile_e is hardware-constrained to 128: the kernel DMAs one senders2d
-    row per chunk, and Mosaic only lowers a dynamic 1-sublane HBM slice
-    when the row spans exactly one (8, 128) lane tile — wider rows fail
-    with "Slice shape along dimension 0 must be aligned to tiling (8)"
-    (measured on v5e; interpret mode accepts them, so the constraint is
-    enforced here, at build time)."""
-    if tile_e != 128 and jax.default_backend() != "cpu":
+    tile_e is hardware-constrained to 128: the kernel DMAs senders2d
+    rows in 8-row blocks, and Mosaic only lowers a dynamic HBM slice at
+    an unaligned row offset when each row spans exactly ONE (8, 128)
+    lane tile (measured on v5e; interpret mode accepts wider rows, so
+    pass for_interpret=True to build a wide-tile_e plan for interpret-
+    mode debugging on any backend)."""
+    if (tile_e != 128 and not for_interpret
+            and jax.default_backend() != "cpu"):
         raise ValueError(
             f"tile_e={tile_e}: Mosaic only lowers 128-wide sender rows "
-            "(single lane tile) for the chunk DMA; sweep tile_r instead")
+            "(single lane tile) for the chunk DMA; sweep tile_r/wblock "
+            "instead (or pass for_interpret=True for interpret mode)")
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
     attr = np.asarray(attr)
     K = attr.shape[1]
-    fwd, bwd, hop_recv, hop_code = [], [], [], []
+    R = K * n_nodes
+    rs, ss, cs = [], [], []
     for k in range(K):
         live = attr[:, k] > 0
-        r, s = receivers[live], senders[live]
-        c = np.clip(attr[live, k], 0, (v1 if k == 0 else vk) - 1)
-        csr, (rf, cf) = _build_one(r, s, n_nodes, tile_r, tile_e,
-                                   aux=[(r, n_nodes - 1), (c, 0)])
-        fwd.append(csr)
-        hop_recv.append(rf)
-        hop_code.append(cf)
-        bwd.append(_build_one(s, r, n_nodes, tile_r, tile_e))
+        rs.append(receivers[live].astype(np.int64) + k * n_nodes)
+        ss.append(senders[live].astype(np.int64) + k * n_nodes)
+        cs.append(np.clip(attr[live, k], 0, (v1 if k == 0 else vk) - 1)
+                  .astype(np.int64))
+    r_all = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+    s_all = np.concatenate(ss) if ss else np.zeros(0, np.int64)
+    c_all = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    fwd, (recv_f, code_f) = _build_one(
+        r_all, s_all, R, tile_r, tile_e, wblock, egroup,
+        aux=[(r_all, R - 1), (c_all, 0)])
+    bwd = _build_one(s_all, r_all, R, tile_r, tile_e, wblock, egroup)
+    fwd = fwd.replace(hop_ends=tuple(
+        int(fwd.indptr[(k + 1) * n_nodes]) for k in range(K)))
+    bwd = bwd.replace(hop_ends=tuple(
+        int(bwd.indptr[(k + 1) * n_nodes]) for k in range(K)))
     counts1 = np.zeros((n_nodes, v1), np.float32)
     np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
     counts1[:, 0] = 0.0
@@ -399,12 +563,13 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         [np.bincount(receivers[attr[:, k] > 0], minlength=n_nodes)
          for k in range(K)], axis=1).astype(np.float32)
     return KHopPallasPlan(
-        fwd=tuple(fwd), bwd=tuple(bwd),
+        fwd=fwd, bwd=bwd,
         counts1=jnp.asarray(counts1),
         countsk=jnp.asarray(countsk) if countsk is not None else None,
-        hop_recv=tuple(hop_recv), hop_code=tuple(hop_code),
+        edge_recv=recv_f, edge_code=code_f,
         union_deg=jnp.asarray(union_deg),
         hop_deg=jnp.asarray(hop_deg),
+        n_hops=K,
     )
 
 
@@ -433,18 +598,20 @@ def _gs_bwd(res, g):
 _gather_segment.defvjp(_gs_fwd, _gs_bwd)
 
 
-def _weighted_counts(plan: KHopPallasPlan, k: int, s_col: jnp.ndarray,
-                     V: int) -> jnp.ndarray:
-    """(N, V) histogram of hop-k attr codes weighted by the sender-side
-    scale: W[i, v] = sum over live hop-k edges e -> i with code v of
-    s_col[sender(e)].  Padding edges carry code 0, killed by the zeroed
-    table row downstream."""
-    n = s_col.shape[0]
-    senders_flat = plan.fwd[k].senders2d.reshape(-1)
-    s_e = s_col[senders_flat]
-    idx = plan.hop_recv[k] * V + plan.hop_code[k]
-    return jax.ops.segment_sum(s_e, idx, num_segments=n * V
-                               ).reshape(n, V)
+def _weighted_hists(plan: KHopPallasPlan, sender_scale: jnp.ndarray,
+                    V: int) -> jnp.ndarray:
+    """(K, N, V) histograms of per-hop attr codes weighted by the
+    sender-side scale: W[k, i, v] = sum over live hop-k edges e -> i with
+    code v of s[sender(e), k].  Padding edges carry code 0, killed by the
+    zeroed table row downstream; on sliced plans the tail rows carry
+    out-of-range receiver ids, dropped by XLA scatter semantics."""
+    n, K = sender_scale.shape
+    s_flat = jnp.transpose(sender_scale).reshape(-1)        # (K*N,)
+    senders_flat = plan.fwd.senders2d.reshape(-1)
+    s_e = s_flat[senders_flat]
+    idx = plan.edge_recv * V + plan.edge_code
+    return jax.ops.segment_sum(s_e, idx, num_segments=K * n * V
+                               ).reshape(K, n, V)
 
 
 def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
@@ -460,15 +627,16 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     khop_aggregate_adj on the COO backend, including GCN's factored
     s_i * s_j norm (sender side pre-scales the gathered table, receiver
     side post-scales the output) and SAGE's union-denominator mean.
+
+    All K hops run in ONE kernel dispatch forward (and one backward):
+    x is laid out hop-major (K*N, D) to match the fused CSR.
     """
     n, K, D = x.shape
     if sender_scale is not None:
         x = x * sender_scale[..., None]
-    outs = [
-        _gather_segment(x[:, k, :], plan.fwd[k], plan.bwd[k])
-        for k in range(K)
-    ]
-    out = jnp.stack(outs, axis=1)                              # (N, K, D)
+    xs = jnp.transpose(x, (1, 0, 2)).reshape(K * n, D)
+    outf = _gather_segment(xs, plan.fwd, plan.bwd)
+    out = jnp.transpose(outf.reshape(K, n, D), (1, 0, 2))      # (N, K, D)
     t1 = table1.at[0].set(0.0)
     hi = jax.lax.Precision.HIGHEST     # counts are exact integers; keep f32
     if sender_scale is None:
@@ -483,14 +651,16 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     else:
         # counts were built unweighted; rebuild per hop weighted by s_j
         # (scalar scatter per edge, then the table matmul rides the MXU)
-        w1 = _weighted_counts(plan, 0, sender_scale[:, 0], t1.shape[0])
-        parts = [jnp.matmul(w1, t1, precision=hi)[:, None]]
+        V = max(t1.shape[0],
+                tablek.shape[0] if tablek is not None else 0)
+        hists = _weighted_hists(plan, sender_scale, V)
+        parts = [jnp.matmul(hists[0, :, :t1.shape[0]], t1,
+                            precision=hi)[:, None]]
         if tablek is not None and K > 1:
             tk = tablek.at[0].set(0.0)
             for k in range(1, K):
-                wk = _weighted_counts(plan, k, sender_scale[:, k],
-                                      tk.shape[0])
-                parts.append(jnp.matmul(wk, tk, precision=hi)[:, None])
+                parts.append(jnp.matmul(hists[k, :, :tk.shape[0]], tk,
+                                        precision=hi)[:, None])
         emb_all = jnp.concatenate(parts, axis=1)
     out = out + emb_all
     if scale is not None:

@@ -45,11 +45,13 @@ def main(argv=None):
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--hidden_size", type=int, default=104)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=100)
     # tile_e is pinned to 128 by a Mosaic DMA-lowering constraint (see
-    # ops/pallas_spmm.py build_plan); the sweepable axis is tile_r
-    p.add_argument("--geometries", default="128x128,256x128,512x128,"
-                   "1024x128")
+    # ops/pallas_spmm.py build_plan); the sweepable axes are tile_r, the
+    # window sub-block height wblock, and the chunks-per-matmul egroup
+    # (geometry = tile_r x wblock x egroup)
+    p.add_argument("--geometries", default="128x512x1,128x512x4,"
+                   "256x512x2,256x512x4,256x512x8,256x1024x4")
     args = p.parse_args(argv)
 
     from kpgnn_tpu.data.synthetic import synthetic_molecules
@@ -67,8 +69,11 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     results = {}
     for geom in args.geometries.split(","):
-        tr, te = (int(v) for v in geom.split("x"))
-        b = collate_pallas(graphs, v1=v1, vk=vk, tile_r=tr, tile_e=te)
+        dims = [int(v) for v in geom.split("x")]
+        tr, wb = dims[0], dims[1]
+        eg = dims[2] if len(dims) > 2 else 1
+        b = collate_pallas(graphs, v1=v1, vk=vk, tile_r=tr, wblock=wb,
+                           egroup=eg)
         plan = b.adj
         n = b.x.shape[0]
         x = jnp.asarray(rng.normal(
@@ -83,18 +88,23 @@ def main(argv=None):
             return khop_spmm(x, t1, tk, plan).sum()
 
         bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        f = _throughput(fwd, (x, t1, tk), union_edges, args.iters)
+        bw = _throughput(bwd, (x, t1, tk), union_edges, args.iters)
+        # a train step runs one forward + one backward per aggregation and
+        # the backward is ~2x the forward's work, so rank geometries by
+        # the combined step time (1/f + 1/b), not forward alone
         row = {
-            "fwd_edges_per_s": round(
-                _throughput(fwd, (x, t1, tk), union_edges, args.iters), 1),
-            "bwd_edges_per_s": round(
-                _throughput(bwd, (x, t1, tk), union_edges, args.iters), 1),
+            "fwd_edges_per_s": round(f, 1),
+            "bwd_edges_per_s": round(bw, 1),
+            "step_edges_per_s": round(1.0 / (1.0 / f + 1.0 / bw), 1),
             "n_pad": n,
-            "win_rows": plan.fwd[0].win_rows if plan.fwd else 0,
+            "max_wblocks": plan.fwd.max_wblocks,
+            "max_chunks": plan.fwd.max_chunks,
         }
         results[geom] = row
         print(json.dumps({"geometry": geom, **row}), flush=True)
 
-    best = max(results, key=lambda g: results[g]["fwd_edges_per_s"])
+    best = max(results, key=lambda g: results[g]["step_edges_per_s"])
     print(json.dumps({"best_geometry": best, **results[best]}))
 
 

@@ -93,6 +93,7 @@ class GraphLoader:
         n_slot: Optional[int] = None,
         v1: Optional[int] = None,
         vk: Optional[int] = None,
+        pallas_geometry: Optional[tuple] = None,  # (tile_r, wblock, egroup)
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -107,6 +108,7 @@ class GraphLoader:
             raise ValueError(f"{mode} mode needs v1/vk vocab sizes")
         if mode == "pallas":
             self.v1, self.vk = v1, vk
+            self.pallas_geometry = pallas_geometry or (None, None, None)
         if mode == "dense":
             max_n = max(g.num_nodes for g in self.graphs)
             self.n_slot = n_slot if n_slot is not None else _round_up(max_n, 8)
@@ -144,10 +146,12 @@ class GraphLoader:
                 batch_graphs, n_slot=self.n_slot, v1=self.v1, vk=self.vk,
                 g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)
         if self.mode == "pallas":
+            tr, wb, eg = self.pallas_geometry
             return collate_pallas(
                 batch_graphs, v1=self.v1, vk=self.vk, n_pad=self.n_pad,
                 e_pad=self.e_pad, g_pad=self.g_pad,
-                y_is_node_level=self.y_is_node_level)
+                y_is_node_level=self.y_is_node_level,
+                tile_r=tr, wblock=wb, egroup=eg)
         return collate(
             batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
             g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

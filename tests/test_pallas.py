@@ -82,21 +82,44 @@ def test_khop_spmm_matches_oracle():
         np.abs(np.asarray(out) - expect).max()
 
 
-def test_streaming_node_table():
-    # VMEM limit forced below the table size -> sharded accumulation must
-    # match the single-shard result
+def test_multi_window_blocks():
+    # a small wblock forces several predicated window sub-blocks per tile
+    # (the per-tile span path); must match the single-block default
     senders, receivers, attr, x, t1, tk = case(seed=5, n=384, e=900, D=24)
     n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0],
+                      wblock=128)
+    assert plan.fwd.max_wblocks > 1
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    expect = oracle(senders, receivers, attr, x, t1, tk, n)
+    assert np.allclose(np.asarray(out), expect, atol=1e-4)
+
+
+def test_slice_hops_matches_full_prefix():
+    # GNNPlus's sliding hop window slices the fused CSR to a row prefix;
+    # the sliced plan must equal a plan built from the first k hop columns
+    senders, receivers, attr, x, t1, tk = case(seed=21, n=256, e=700, K=4)
+    n, K = x.shape[0], attr.shape[1]
     plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
-    full = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
-    orig = ps.VMEM_X_LIMIT
-    try:
-        ps.VMEM_X_LIMIT = 128 * 128 * 4          # one TILE_R row block
-        shard = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk),
-                          plan)
-    finally:
-        ps.VMEM_X_LIMIT = orig
-    assert np.allclose(np.asarray(shard), np.asarray(full), atol=1e-4)
+    for k in (1, 2, 3):
+        sliced = plan.slice_hops(k)
+        assert sliced.K == k
+        ref_plan = build_plan(receivers, senders, attr[:, :k], n,
+                              t1.shape[0], tk.shape[0])
+        out_s = khop_spmm(jnp.asarray(x[:, :k]), jnp.asarray(t1),
+                          jnp.asarray(tk), sliced)
+        out_r = khop_spmm(jnp.asarray(x[:, :k]), jnp.asarray(t1),
+                          jnp.asarray(tk), ref_plan)
+        assert np.allclose(np.asarray(out_s), np.asarray(out_r),
+                           atol=1e-4), k
+        # sender-scaled (GCN-norm) path slices the flat edge arrays too
+        rng = np.random.default_rng(k)
+        s_j = jnp.asarray(rng.uniform(0.5, 2.0, (n, k)).astype(np.float32))
+        ws = khop_spmm(jnp.asarray(x[:, :k]), jnp.asarray(t1),
+                       jnp.asarray(tk), sliced, sender_scale=s_j)
+        wr = khop_spmm(jnp.asarray(x[:, :k]), jnp.asarray(t1),
+                       jnp.asarray(tk), ref_plan, sender_scale=s_j)
+        assert np.allclose(np.asarray(ws), np.asarray(wr), atol=1e-3), k
 
 
 def _coo_reference(senders, receivers, attr, x, t1, tk, n, scale=None,
@@ -246,9 +269,10 @@ def test_windowed_gather_on_graph_sorted_batch():
     tk = rng.normal(size=(Vk, D)).astype(np.float32)
 
     plan = build_plan(receivers, senders, attr, n, V1, Vk)
-    for k in range(K):
-        assert plan.fwd[k].win_rows <= 256, plan.fwd[k].win_rows
-        assert plan.bwd[k].win_rows <= 256
+    # 32-node graphs inside 128-row tiles: every tile's span fits one
+    # 256-row window block
+    assert plan.fwd.max_wblocks == 1, plan.fwd.max_wblocks
+    assert plan.bwd.max_wblocks == 1
     out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
     ref = oracle(senders, receivers, attr, x, t1, tk, n)
     assert np.allclose(np.asarray(out), ref, atol=1e-4)
@@ -292,4 +316,4 @@ def test_collate_pallas_tile_r_pads_nodes():
     gs = [toy_graph(10, 24, K=3, seed=i) for i in range(4)]
     b = collate_pallas(gs, v1=6, vk=9, tile_r=256)
     assert b.x.shape[0] % 256 == 0
-    assert all(c.tile_r == 256 for c in b.adj.fwd)
+    assert b.adj.fwd.tile_r == 256
