@@ -79,6 +79,12 @@ class BiLSTM(nn.Module):
             return (h, c), h
 
         h0 = jnp.zeros((2, B, H), x.dtype)
+        # under shard_map(check_vma=True) the carry must vary over the
+        # same mesh axes as the (node-sharded) input or scan rejects the
+        # carry-type mismatch after the first step
+        vma = getattr(getattr(x, "aval", None), "vma", None)
+        if vma:
+            h0 = jax.lax.pvary(h0, tuple(vma))
         _, hs = jax.lax.scan(step, (h0, h0), xg, unroll=True)  # (T, 2, B, H)
         out = jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)  # (T, B, 2H)
         return jnp.swapaxes(out, 0, 1)

@@ -35,8 +35,11 @@ every tile's contraction width.
 
 Grid: output row tiles; CSR indptr rides in as scalar prefetch
 (PrefetchScalarGridSpec); per-tile edge segments are host-padded to
-TILE_E multiples with null edges (sender = last padding row, forced zero)
-so sender chunks are lane-aligned rows of a 2-D array.
+TILE_E multiples with null edges (sender = one past the table, landing
+in the kernel's zero overhang rows) so sender chunks are lane-aligned
+rows of a 2-D array.  Receiver and sender spaces may differ (rectangular
+gather): the node-sharded backend scatters to owned rows only while
+gathering from the halo-extended table.
 
 Backward: dx is the same kernel on the transpose (sender-sorted) CSR.
 
@@ -75,8 +78,12 @@ class HopCSR:
     """Fused-hop live edges, receiver-sorted, tile-aligned.
 
     Rows live in the hop-major virtual space [0, n_hops * n_nodes); row
-    k*N + i is node i's hop-k slot.  Null alignment edges point at the
-    last row (zero-forced by the kernel contract)."""
+    k*N + i is node i's hop-k slot.  Receiver (output) and sender (input)
+    spaces may differ (`n_rows` vs `n_cols` — the node-sharded backend
+    gathers from a halo-extended table while scattering only to owned
+    rows).  Null alignment edges point at row `n_cols`, one past the
+    sender table — the kernel pads x with `wblock` zero rows, so they
+    contribute nothing."""
 
     indptr: jnp.ndarray        # (R+1,) int32 into the padded edge list
     senders2d: jnp.ndarray     # (E_pad/TILE_E, TILE_E) int32
@@ -104,6 +111,8 @@ class HopCSR:
     # must be multiples of 128 — lane width for the edge axis, and the
     # window-start `pl.multiple_of` hint for rows
     tile_r: int = struct.field(pytree_node=False, default=TILE_R)
+    # sender-table rows (x.shape[0]); 0 means "same as n_rows" (square)
+    n_cols_static: int = struct.field(pytree_node=False, default=0)
     # padded-edge offset at each hop boundary (indptr[(k+1)*N]); lets
     # slice_hops cut the flat arrays with static shapes
     hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
@@ -112,6 +121,10 @@ class HopCSR:
     @property
     def n_rows(self) -> int:
         return self.row_starts.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_cols_static or self.n_rows
 
 
 def _buf_rows(max_chunks: int) -> int:
@@ -262,24 +275,34 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
                        precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """out[i, :] = sum of x[sender(e), :] over csr edges with receiver i.
 
-    x: (R, D) float32, R == csr.n_rows (R % csr.tile_r == 0).  Row R-1
-    must be a padding slot (it is zeroed here — null alignment edges
-    point at it).  The feature dim pads to the 128-lane tile and the row
-    dim gains `wblock` zero rows internally (window overhang).
+    x: (csr.n_cols, D) float32; output is (csr.n_rows, D) with
+    csr.n_rows % csr.tile_r == 0.  The feature dim pads to the 128-lane
+    tile and the row dim gains `wblock` zero rows internally (window
+    overhang; null alignment edges point at the first pad row).
     """
     if interpret is None:
         # Mosaic only lowers on TPU; on CPU run the kernel in interpret
         # mode so --backend pallas stays debuggable everywhere
         interpret = jax.default_backend() == "cpu"
+    vma = frozenset().union(
+        *(getattr(getattr(a, "aval", None), "vma", frozenset()) or
+          frozenset() for a in (x, csr.indptr)))
+    if interpret and vma:
+        # inside shard_map(check_vma=True) the interpreter can't evaluate
+        # the kernel body (program_id-derived indices carry no vma); the
+        # jnp reference is semantically identical.  Compiled Mosaic
+        # (real TPU) takes the kernel path.
+        return _gather_reference(x, csr)
     tile_r = csr.tile_r
     tile_e = csr.senders2d.shape[1]
-    n, D_in = x.shape
+    n = csr.n_rows
+    D_in = x.shape[1]
     D = ((D_in + 127) // 128) * 128
     assert n % tile_r == 0, f"n_rows {n} must divide by {tile_r}"
-    assert n == csr.n_rows, (n, csr.n_rows)
-    x = x.at[n - 1].set(0.0)
+    assert x.shape[0] == csr.n_cols, (x.shape, csr.n_cols)
     # `wblock` zero overhang rows: per-tile windows are block-quantized,
-    # so the last block of a tile near the table end may read past R
+    # so the last block of a tile near the table end may read past the
+    # end (and null alignment edges point at the first pad row)
     x = jnp.pad(x, ((0, csr.wblock), (0, D - D_in)))
     if precision in (jax.lax.Precision.DEFAULT, None) and not interpret:
         # the MXU rounds f32 inputs to bf16 at DEFAULT precision anyway,
@@ -331,29 +354,58 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
         # (dynamic leading-index rank-3 addressing is shakier in Mosaic)
         scratch_shapes=scratch_shapes,
     )
+    # under shard_map(check_vma=True) the output must declare how it
+    # varies across mesh axes: exactly like its inputs (the node axis on
+    # the sharded backend); outside shard_map vma stays unset
+    out_shape = (jax.ShapeDtypeStruct((n, D), jnp.float32, vma=vma)
+                 if vma else jax.ShapeDtypeStruct((n, D), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_kernel, csr.max_chunks, csr.max_wblocks,
                           csr.wblock, precision, tile_r, tile_e,
                           csr.egroup, x_resident),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(csr.indptr, csr.win_lo, csr.win_blk, csr.senders2d, x,
       csr.row_starts, csr.row_ends)
     return out[:, :D_in] if D != D_in else out
 
 
-def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
-               tile_e=TILE_E, wblock=WBLOCK, egroup=1, aux=()) -> HopCSR:
-    """Receiver-sorted CSR whose per-row-tile edge segments are padded to
-    TILE_E multiples with null edges (sender = n_nodes-1, contribution
-    forced to zero by the kernel).
+def _gather_reference(x: jnp.ndarray, csr: HopCSR) -> jnp.ndarray:
+    """Pure-jnp semantics of the kernel (oracle + the shard_map interpret
+    path): gather the padded edge list, assign each edge to the row whose
+    [start, end) range contains it, segment-sum."""
+    n = csr.n_rows
+    sf = csr.senders2d.reshape(-1)
+    e_pad = sf.shape[0]
+    xp = jnp.pad(x, ((0, csr.wblock), (0, 0)))    # null senders -> zeros
+    gathered = xp[sf]                             # (E_pad, D)
+    eidx = jnp.arange(e_pad, dtype=jnp.int32)
+    ends = csr.row_ends.reshape(-1)
+    ids = jnp.searchsorted(ends, eidx, side="right").astype(jnp.int32)
+    idc = jnp.clip(ids, 0, n - 1)
+    valid = ((eidx >= csr.row_starts.reshape(-1)[idc])
+             & (eidx < ends[idc]) & (ids < n))
+    return jax.ops.segment_sum(
+        gathered * valid[:, None].astype(x.dtype), idc, num_segments=n)
 
+
+def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
+               tile_e=TILE_E, wblock=WBLOCK, egroup=1, aux=(),
+               n_cols=None) -> HopCSR:
+    """Receiver-sorted CSR whose per-row-tile edge segments are padded to
+    TILE_E multiples with null edges (sender = n_cols, pointing into the
+    kernel's zero overhang rows so they contribute nothing).
+
+    `n_cols`: sender-table rows when different from the receiver space
+    (rectangular gather — the node-sharded halo-extended table).
     `aux`: optional [(array, pad_value), ...] of per-edge metadata sorted
     and padded alongside the senders; returns (csr, [flat_aux, ...]) then.
     """
     assert tile_r % 128 == 0 and tile_e % 128 == 0, (tile_r, tile_e)
     assert wblock % 128 == 0, wblock
+    if n_cols is None:
+        n_cols = n_nodes
     order = np.argsort(receivers, kind="stable")
     receivers = np.asarray(receivers)[order]
     senders = np.asarray(senders)[order]
@@ -391,7 +443,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
             wblk[t] = -(-span // wblock)
         seg_senders.append(seg)
         if pad_len[t]:
-            seg_senders.append(np.full(pad_len[t], n_nodes - 1,
+            seg_senders.append(np.full(pad_len[t], n_cols,
                                        senders.dtype))
         for j, (a, pv) in enumerate(aux):
             seg_aux[j].append(a[tile_lo[t]:tile_hi[t]])
@@ -403,7 +455,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     flat_aux = [np.concatenate(s) if s else np.zeros(0, np.int64)
                 for s in seg_aux]
     if len(flat) == 0:
-        flat = np.full(tile_e * egroup, n_nodes - 1, np.int64)
+        flat = np.full(tile_e * egroup, n_cols, np.int64)
         flat_aux = [np.full(tile_e * egroup, pv, np.int64) for _, pv in aux]
         pos = tile_e * egroup
         indptr[n_nodes] = 0
@@ -416,7 +468,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     # null tail rows so every tile's sender-chunk copies
     # [e_lo/tile_e, e_lo/tile_e + _buf_rows(max_chunks)) are in bounds
     extra = _buf_rows(max_chunks) * tile_e
-    flat = np.concatenate([flat, np.full(extra, n_nodes - 1, np.int64)])
+    flat = np.concatenate([flat, np.full(extra, n_cols, np.int64)])
     flat_aux = [np.concatenate([a, np.full(extra, pv, np.int64)])
                 for a, (_, pv) in zip(flat_aux, aux)]
     csr = HopCSR(
@@ -433,6 +485,7 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         wblock=wblock,
         tile_r=tile_r,
         egroup=egroup,
+        n_cols_static=(0 if n_cols == n_nodes else n_cols),
     )
     if aux:
         return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]
@@ -470,25 +523,30 @@ class KHopPallasPlan:
 
     def slice_hops(self, k: int) -> "KHopPallasPlan":
         n = self.counts1.shape[0]
+        cn = self.fwd.n_cols // self.n_hops    # per-hop sender rows
         tile_e = self.fwd.senders2d.shape[1]
 
-        def cut(csr: HopCSR) -> HopCSR:
+        def cut(csr: HopCSR, rows_per_hop: int, cols_per_hop: int
+                ) -> HopCSR:
             rows = (csr.hop_ends[k - 1] // tile_e
                     + _buf_rows(csr.max_chunks))
-            nt = (k * n) // csr.tile_r
+            nr = k * rows_per_hop
+            nt = nr // csr.tile_r
             return csr.replace(
-                indptr=csr.indptr[:k * n + 1],
+                indptr=csr.indptr[:nr + 1],
                 senders2d=csr.senders2d[:rows],
-                row_starts=csr.row_starts[:k * n],
-                row_ends=csr.row_ends[:k * n],
+                row_starts=csr.row_starts[:nr],
+                row_ends=csr.row_ends[:nr],
                 win_lo=csr.win_lo[:nt],
                 win_blk=csr.win_blk[:nt],
+                n_cols_static=(0 if cols_per_hop == rows_per_hop
+                               else k * cols_per_hop),
                 hop_ends=csr.hop_ends[:k])
 
-        fwd = cut(self.fwd)
+        fwd = cut(self.fwd, n, cn)
         flat_len = fwd.senders2d.shape[0] * tile_e
         return KHopPallasPlan(
-            fwd=fwd, bwd=cut(self.bwd),
+            fwd=fwd, bwd=cut(self.bwd, cn, n),
             counts1=self.counts1,
             countsk=(self.countsk[:, :k - 1] if k > 1 else None),
             edge_recv=self.edge_recv[:flat_len],
@@ -506,7 +564,8 @@ class KHopPallasPlan:
 def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                tile_r: int = TILE_R, tile_e: int = TILE_E,
                wblock: int = WBLOCK, egroup: int = EGROUP,
-               for_interpret: bool = False) -> KHopPallasPlan:
+               for_interpret: bool = False,
+               n_cols_nodes: Optional[int] = None) -> KHopPallasPlan:
     """Host-side plan: filter live edges per hop, fuse them into one
     hop-major CSR per direction, histogram attr codes per receiver.
     tile_r sets the kernel's grid geometry and wblock the window
@@ -529,12 +588,17 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     senders = np.asarray(senders)
     attr = np.asarray(attr)
     K = attr.shape[1]
+    cn = n_cols_nodes if n_cols_nodes is not None else n_nodes
+    assert (K * cn) % tile_r == 0, (
+        f"sender space {K}*{cn} must divide by tile_r={tile_r} "
+        "(the backward CSR's output rows live there)")
     R = K * n_nodes
+    C = K * cn
     rs, ss, cs = [], [], []
     for k in range(K):
         live = attr[:, k] > 0
         rs.append(receivers[live].astype(np.int64) + k * n_nodes)
-        ss.append(senders[live].astype(np.int64) + k * n_nodes)
+        ss.append(senders[live].astype(np.int64) + k * cn)
         cs.append(np.clip(attr[live, k], 0, (v1 if k == 0 else vk) - 1)
                   .astype(np.int64))
     r_all = np.concatenate(rs) if rs else np.zeros(0, np.int64)
@@ -542,12 +606,13 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     c_all = np.concatenate(cs) if cs else np.zeros(0, np.int64)
     fwd, (recv_f, code_f) = _build_one(
         r_all, s_all, R, tile_r, tile_e, wblock, egroup,
-        aux=[(r_all, R - 1), (c_all, 0)])
-    bwd = _build_one(s_all, r_all, R, tile_r, tile_e, wblock, egroup)
+        aux=[(r_all, R), (c_all, 0)], n_cols=C)
+    bwd = _build_one(s_all, r_all, C, tile_r, tile_e, wblock, egroup,
+                     n_cols=R)
     fwd = fwd.replace(hop_ends=tuple(
         int(fwd.indptr[(k + 1) * n_nodes]) for k in range(K)))
     bwd = bwd.replace(hop_ends=tuple(
-        int(bwd.indptr[(k + 1) * n_nodes]) for k in range(K)))
+        int(bwd.indptr[(k + 1) * cn]) for k in range(K)))
     counts1 = np.zeros((n_nodes, v1), np.float32)
     np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
     counts1[:, 0] = 0.0
@@ -602,11 +667,14 @@ def _weighted_hists(plan: KHopPallasPlan, sender_scale: jnp.ndarray,
                     V: int) -> jnp.ndarray:
     """(K, N, V) histograms of per-hop attr codes weighted by the
     sender-side scale: W[k, i, v] = sum over live hop-k edges e -> i with
-    code v of s[sender(e), k].  Padding edges carry code 0, killed by the
-    zeroed table row downstream; on sliced plans the tail rows carry
-    out-of-range receiver ids, dropped by XLA scatter semantics."""
-    n, K = sender_scale.shape
-    s_flat = jnp.transpose(sender_scale).reshape(-1)        # (K*N,)
+    code v of s[sender(e), k].  Padding edges carry code 0 or an
+    out-of-range receiver id (dropped by XLA scatter semantics), so they
+    contribute nothing.  sender_scale is sized to the sender table
+    (extended, for rectangular sharded plans); the histogram is over the
+    receiver space."""
+    K = sender_scale.shape[1]
+    n = plan.counts1.shape[0]
+    s_flat = jnp.transpose(sender_scale).reshape(-1)        # (K*Cn,)
     senders_flat = plan.fwd.senders2d.reshape(-1)
     s_e = s_flat[senders_flat]
     idx = plan.edge_recv * V + plan.edge_code
@@ -630,11 +698,17 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
 
     All K hops run in ONE kernel dispatch forward (and one backward):
     x is laid out hop-major (K*N, D) to match the fused CSR.
+
+    Rectangular (node-sharded) plans gather from a halo-extended sender
+    table: x is then (n_ext, K, D) while the output stays (n_local, K, D)
+    (and sender_scale is sized to the extended table).
     """
-    n, K, D = x.shape
+    cn, K, D = x.shape          # sender-table nodes (== N for square)
+    n = plan.counts1.shape[0]   # receiver (output) nodes
+    assert K * cn == plan.fwd.n_cols, (x.shape, plan.fwd.n_cols)
     if sender_scale is not None:
         x = x * sender_scale[..., None]
-    xs = jnp.transpose(x, (1, 0, 2)).reshape(K * n, D)
+    xs = jnp.transpose(x, (1, 0, 2)).reshape(K * cn, D)
     outf = _gather_segment(xs, plan.fwd, plan.bwd)
     out = jnp.transpose(outf.reshape(K, n, D), (1, 0, 2))      # (N, K, D)
     t1 = table1.at[0].set(0.0)

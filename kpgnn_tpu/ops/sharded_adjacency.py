@@ -57,6 +57,14 @@ class ShardedCOOAdj:
     # receiver shard i needs FROM owner shard j, i.e. len(uniq[i][j]) in
     # partition_adj), before padding to the common halo width B
     boundary: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # optional stacked per-shard Pallas plans (rectangular fused CSRs over
+    # the halo-extended sender table, uniform statics across shards); when
+    # present the local aggregation runs through the SpMM kernel instead
+    # of XLA segment-sum.  Built by parallel.partition.attach_pallas_plans.
+    plan: Optional[object] = None
+    # extended sender-table rows the plans were built for (n_local + P*B
+    # rounded up to the kernel tile); x_ext pads to this before the kernel
+    n_ext_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def K(self) -> int:
@@ -71,7 +79,10 @@ class ShardedCOOAdj:
         return self.send_rows.shape[-1]
 
     def slice_hops(self, k: int) -> "ShardedCOOAdj":
-        return self.replace(edge_attr=self.edge_attr[..., :k])
+        # the stacked pallas plans are not hop-sliceable (per-shard edge
+        # counts differ, so the slice offsets are not static); sliced
+        # views fall back to the XLA segment-sum path
+        return self.replace(edge_attr=self.edge_attr[..., :k], plan=None)
 
     def local(self) -> "ShardedCOOAdj":
         """Drop the (split-to-1) leading shard axis inside shard_map."""
@@ -81,7 +92,9 @@ class ShardedCOOAdj:
             senders=self.senders[0], receivers=self.receivers[0],
             edge_attr=self.edge_attr[0], edge_mask=self.edge_mask[0],
             send_rows=(self.send_rows[0]
-                       if self.send_rows.ndim == 3 else self.send_rows))
+                       if self.send_rows.ndim == 3 else self.send_rows),
+            plan=(None if self.plan is None
+                  else jax.tree.map(lambda a: a[0], self.plan)))
 
     # --- accounting -------------------------------------------------
     def boundary_total(self) -> int:
@@ -146,6 +159,23 @@ def sharded_khop_aggregate(
         x_ext, ss_ext = ext[..., :-1], ext[..., -1]     # (n_ext, K, D), (n_ext, K)
     else:
         x_ext, ss_ext = ext, None
+
+    if d.plan is not None:
+        # local aggregation through the fused Pallas SpMM kernel: the
+        # halo exchange composes with the fast backend instead of XLA
+        # segment-sum (pad the extended table to the plan's tile-aligned
+        # sender space first)
+        from .pallas_spmm import khop_spmm
+
+        pad = adj.n_ext_pad - x_ext.shape[0]
+        xp = jnp.pad(x_ext.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+        ssp = (jnp.pad(ss_ext.astype(jnp.float32), ((0, pad), (0, 0)))
+               if ss_ext is not None else None)
+        return khop_spmm(xp, table1.astype(jnp.float32),
+                         (tablek.astype(jnp.float32)
+                          if tablek is not None else None),
+                         d.plan, scale=scale, sender_scale=ssp,
+                         aggr=aggr).astype(x.dtype)
 
     e1 = table1[d.edge_attr[:, :1]]
     e_emb = (jnp.concatenate([e1, tablek[d.edge_attr[:, 1:]]], axis=-2)

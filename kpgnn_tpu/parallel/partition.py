@@ -123,10 +123,91 @@ def partition_adj(adj: COOAdj, n_shards: int,
         boundary=tuple(boundary))
 
 
+def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
+                        tile_r: Optional[int] = None,
+                        wblock: Optional[int] = None,
+                        egroup: Optional[int] = None) -> ShardedCOOAdj:
+    """Build one rectangular fused-CSR Pallas plan per shard (senders in
+    the halo-extended table, receivers in the owned range) and stack them
+    so the node-sharded aggregation runs through the SpMM kernel after
+    the halo exchange instead of XLA segment-sum.
+
+    Statics (max_chunks/max_wblocks/array heights) are unified to the
+    per-shard maxima so the stacked plans form one pytree; hop slicing is
+    unsupported on the stacked plans (per-shard hop offsets differ), so
+    GNNPlus-style hop windows fall back to the segment-sum path.
+    """
+    from ..ops.pallas_spmm import (EGROUP, TILE_R, WBLOCK, _buf_rows,
+                                   build_plan)
+
+    tile_r = tile_r or TILE_R
+    wblock = wblock or WBLOCK
+    egroup = egroup or EGROUP
+    if adj.n_local % tile_r:
+        raise ValueError(
+            f"n_local={adj.n_local} must divide by tile_r={tile_r} for "
+            "the sharded Pallas path (collate with node_multiple = "
+            "n_shards * tile_r)")
+    P_ = adj.n_shards
+    n_ext = adj.n_local + P_ * adj.halo
+    n_ext_pad = _round_up(n_ext, tile_r)
+    S = np.asarray(adj.senders)
+    R = np.asarray(adj.receivers)
+    A = np.asarray(adj.edge_attr)
+    M = np.asarray(adj.edge_mask)
+    plans = []
+    for i in range(P_):
+        m = M[i]
+        plans.append(build_plan(
+            R[i][m], S[i][m], A[i][m], adj.n_local, v1, vk,
+            tile_r=tile_r, wblock=wblock, egroup=egroup,
+            n_cols_nodes=n_ext_pad))
+    # unify statics so the per-shard plans stack into one pytree: loop
+    # bounds take the maxima (the kernel predicates off unused slots) and
+    # the flat arrays pad to common heights with null edges
+    k = plans[0].n_hops
+    for attr_name in ("fwd", "bwd"):
+        csrs = [getattr(p, attr_name) for p in plans]
+        mc = max(c.max_chunks for c in csrs)
+        mw = max(c.max_wblocks for c in csrs)
+        te = csrs[0].senders2d.shape[1]
+        rows = max(int(c.indptr[-1]) // te + _buf_rows(mc) for c in csrs)
+        for j, c in enumerate(csrs):
+            null = c.n_cols
+            pad_rows = rows - c.senders2d.shape[0]
+            s2d = (jnp.concatenate(
+                [c.senders2d,
+                 jnp.full((pad_rows, te), null, jnp.int32)])
+                if pad_rows > 0 else c.senders2d[:rows])
+            plans[j] = plans[j].replace(**{attr_name: c.replace(
+                senders2d=s2d, max_chunks=mc, max_wblocks=mw,
+                hop_ends=())})
+    flat_len = plans[0].fwd.senders2d.size
+    for j, p in enumerate(plans):
+        pad = flat_len - p.edge_recv.shape[0]
+        plans[j] = p.replace(
+            edge_recv=jnp.concatenate(
+                [p.edge_recv[:flat_len],
+                 jnp.full((max(pad, 0),), k * adj.n_local, jnp.int32)]),
+            edge_code=jnp.concatenate(
+                [p.edge_code[:flat_len],
+                 jnp.zeros((max(pad, 0),), jnp.int32)]))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+    return adj.replace(plan=stacked, n_ext_pad=n_ext_pad)
+
+
 def partition_batch(batch: GraphBatch, n_shards: int,
-                    axis: str = "node") -> GraphBatch:
-    """Partition a collated batch for the node-sharded training path."""
-    return batch.replace(adj=partition_adj(batch.adj, n_shards, axis))
+                    axis: str = "node",
+                    pallas: Optional[dict] = None) -> GraphBatch:
+    """Partition a collated batch for the node-sharded training path.
+
+    pallas: optional {"v1": ..., "vk": ..., [geometry keys]} — when given,
+    per-shard Pallas plans are attached so the local aggregation runs on
+    the SpMM kernel (ops/sharded_adjacency.py)."""
+    adj = partition_adj(batch.adj, n_shards, axis)
+    if pallas is not None:
+        adj = attach_pallas_plans(adj, **pallas)
+    return batch.replace(adj=adj)
 
 
 def batch_pspecs(batch: GraphBatch, axis: str = "node",
@@ -141,7 +222,9 @@ def batch_pspecs(batch: GraphBatch, axis: str = "node",
 
     adj = batch.adj.replace(
         senders=node, receivers=node, edge_attr=node, edge_mask=node,
-        send_rows=node)
+        send_rows=node,
+        plan=(None if batch.adj.plan is None
+              else jax.tree.map(lambda _: node, batch.adj.plan)))
     return batch.replace(
         x=node, node_mask=node, node_graph_ids=node,
         pe_attr=ns(batch.pe_attr),

@@ -1,0 +1,191 @@
+"""Scaling-efficiency evidence for the >=80% edges/s north star.
+
+Real multi-chip hardware is not reachable in this environment (one v5e
+behind a tunnel), so this script produces the two next-best numbers:
+
+* --mode weak: parallelization-overhead wall-clock on a virtual CPU mesh
+  (XLA_FLAGS=--xla_force_host_platform_device_count=8).  Virtual CPU
+  devices SHARE the physical cores, so compute serializes and raw
+  weak-scaling curves only measure core contention; the honest
+  measurable is overhead(P) = t_parallel(P devices) / t_single(same
+  total batch, 1 device) — 1.0 means the sharded program adds nothing
+  beyond the (serialized) compute itself; the excess is exactly the
+  collective/orchestration cost (shard_map, halo all_to_all, grad
+  psum) that real chips would pay against ICI instead of shared cores.
+
+* --mode ici: analytic projection for the node-sharded large-graph path.
+  The halo plan's exact per-layer communication volume (bytes that cross
+  the mesh per device per aggregation — computed, not estimated) divided
+  by ICI bandwidth, against the measured single-chip per-layer
+  aggregation time.  efficiency = compute / (compute + comm), i.e. a
+  no-overlap lower bound.  v5e ICI is ~45 GB/s per link per direction;
+  the table sweeps effective bandwidths down to 10 GB/s so the claim
+  does not hinge on one constant.
+
+Run on CPU in-process (see .claude/skills/verify): the weak mode forces
+the cpu platform itself; the ici mode measures the kernel on whatever
+backend is active (run it bare for the real chip).
+
+No reference counterpart: the reference's only parallelism is
+DataParallel (train_ZINC.py:90-92) and it publishes no scaling numbers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _weak(out):
+    import os
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from kpgnn_tpu.data.synthetic import synthetic_molecules
+    from kpgnn_tpu.graph.batch import collate
+    from kpgnn_tpu.models import ModelConfig, make_model
+    from kpgnn_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                    make_sharded_train_step,
+                                    partition_batch, stack_batches)
+    from kpgnn_tpu.prep import KHopConfig
+    from kpgnn_tpu.train import create_train_state
+
+    K, L, hidden, per_dev = 4, 4, 64, 8
+    kcfg = KHopConfig(K=K, kernel="spd", max_edge_attr_num=10,
+                      max_hop_num=3, max_edge_type=2, max_edge_count=10,
+                      max_distance_count=10)
+    graphs = synthetic_molecules(8 * per_dev, kcfg, seed=1,
+                                 n_min=24, n_max=32)
+    mcfg = ModelConfig(
+        model_name="KPGINPlus", hidden_size=hidden, num_layer=L, K=K,
+        num_hop1_edge=3, max_pe_num=10, max_edge_type=2,
+        max_edge_count=10, max_hop_num=3, max_distance_count=10,
+        JK="concat", combine="geometric", residual=True,
+        input_encoder=("embedding", 21),
+        task="graph_regression", pooling_method="sum")
+    model = make_model(mcfg)
+    devs = jax.devices()
+
+    def timed(step, state, batch, rng, iters=10):
+        state, m = step(state, batch, rng)
+        jax.block_until_ready(m["loss_sum"])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, batch, rng)
+            jax.block_until_ready(m["loss_sum"])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    from kpgnn_tpu.train import make_train_step
+
+    for mode in ("data_parallel", "node_sharded"):
+        rows = {}
+        for P in (1, 2, 4, 8):
+            mesh = (make_mesh(P) if mode == "data_parallel"
+                    else make_mesh(P, axis_names=("node",)))
+            # the single-device reference: the SAME total batch through
+            # the ordinary unsharded train step
+            big = collate(graphs[:per_dev * P], n_pad=256 * P,
+                          e_pad=8192 * P, g_pad=per_dev * P + 1)
+            state1, tx1 = create_train_state(
+                model, big, jax.random.PRNGKey(0), 1e-3)
+            t_one = timed(make_train_step(model, tx1, loss="l1",
+                                          donate=False),
+                          state1, big, jax.random.PRNGKey(1))
+            if mode == "data_parallel":
+                shards = [collate(graphs[per_dev * i:per_dev * (i + 1)],
+                                  n_pad=256, e_pad=8192, g_pad=per_dev + 1)
+                          for i in range(P)]
+                batch = stack_batches(shards)
+                state, tx = create_train_state(
+                    model, shards[0], jax.random.PRNGKey(0), 1e-3)
+                step = make_parallel_train_step(model, tx, mesh, loss="l1")
+            else:
+                batch = partition_batch(big, P)
+                state, tx = create_train_state(
+                    model, big, jax.random.PRNGKey(0), 1e-3)
+                step = make_sharded_train_step(model, tx, mesh, loss="l1")
+            t_sh = timed(step, state, batch, jax.random.PRNGKey(1))
+            rows[P] = (t_sh, t_one)
+        out[mode] = {
+            str(P): {"parallel_step_ms": round(t_sh * 1e3, 2),
+                     "single_device_same_batch_ms": round(t_one * 1e3, 2),
+                     "overhead_factor": round(t_sh / t_one, 3)}
+            for P, (t_sh, t_one) in rows.items()}
+
+
+def _ici(out, n_nodes=65536, shards=8, kk=3, hidden=104):
+    import jax
+    import jax.numpy as jnp
+    from kpgnn_tpu.data.synthetic import synthetic_polymers
+    from kpgnn_tpu.graph.batch import collate_pallas, collate
+    from kpgnn_tpu.ops.pallas_spmm import khop_spmm
+    from kpgnn_tpu.parallel import partition_adj
+
+    graphs = synthetic_polymers(1, n_nodes, K=kk, seed=0)
+    coo = collate(graphs)
+    sharded = partition_adj(coo.adj, shards)
+    D = ((hidden + 127) // 128) * 128
+    comm_bytes = sharded.comm_elems_per_layer(kk, D) * 4
+    psum_bytes = sharded.psum_elems_per_layer(kk, D) * 4
+
+    # measured per-layer aggregation (fwd+bwd) on 1/P of the graph — the
+    # per-device compute share under the partition
+    local = synthetic_polymers(1, n_nodes // shards, K=kk, seed=0)
+    b = collate_pallas(local, v1=5, vk=32, tile_r=256, wblock=512,
+                       egroup=4)
+    plan = b.adj
+    n = b.x.shape[0]
+    edges = int(np.asarray(coo.adj.edge_mask).sum())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, kk, hidden)).astype(np.float32))
+    t1 = jnp.asarray(rng.normal(size=(5, hidden)).astype(np.float32))
+    tk = jnp.asarray(rng.normal(size=(32, hidden)).astype(np.float32))
+    g = jax.jit(jax.grad(
+        lambda x: khop_spmm(x, t1, tk, plan).sum()))
+    jax.block_until_ready(g(x))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            o = g(x)
+        jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / 20)
+    out["ici_projection"] = {
+        "workload": f"polymer n={n_nodes}, K={kk}, D={hidden}, "
+                    f"{shards} shards",
+        "union_edges": edges,
+        "halo_rows": sharded.halo,
+        "boundary_rows": sharded.boundary_total(),
+        "comm_bytes_per_device_per_layer": comm_bytes,
+        "full_table_psum_bytes_would_be": psum_bytes,
+        "measured_per_layer_fwd_bwd_ms_per_device": round(best * 1e3, 3),
+        "efficiency_vs_ici_GBps": {
+            str(bw): round(best / (best + comm_bytes / (bw * 1e9)), 4)
+            for bw in (10, 25, 45, 90)},
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["weak", "ici", "both"],
+                   default="both")
+    p.add_argument("--n_nodes", type=int, default=65536)
+    args = p.parse_args(argv)
+    out = {}
+    if args.mode in ("weak", "both"):
+        _weak(out)
+    if args.mode in ("ici", "both"):
+        _ici(out, n_nodes=args.n_nodes)
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -220,6 +220,11 @@ def test_coo_resident_trainer_matches_per_batch(dataset):
                      resident=mode)
         _, res = tr.fit(loader, val, val, rng=jax.random.PRNGKey(3))
         results[mode] = res
+    # epoch 1 precedes the Adam sign-flip accumulation: tight bound here
+    # catches regressions the loose multi-epoch check would let through
+    np.testing.assert_allclose(results["on"]["history"][0]["train_loss"],
+                               results["off"]["history"][0]["train_loss"],
+                               rtol=1e-3)
     for a, b in zip(results["on"]["history"], results["off"]["history"]):
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=0.2)
