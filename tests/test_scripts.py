@@ -218,3 +218,51 @@ def test_search_script(tmp_path):
                           f"--num_layer 2 --save_dir {tmp_path} "
                           f"--dataset_dir {tmp_path}"])
     assert len(res) == 1 and "metric" in res[0]
+
+
+def write_standard_tu_dataset(root, name="TOYSTD", n_graphs=20):
+    """Synthesize a standard-format TU tree (DS_A.txt /
+    DS_graph_indicator.txt / DS_graph_labels.txt / DS_node_labels.txt,
+    1-based ids, comma-separated edges — byte-format of the TU zips,
+    reference: datasets/tu_dataset.py:233-324)."""
+    rng = np.random.default_rng(3)
+    d = root / name
+    d.mkdir()
+    a, ind, glab, nlab = [], [], [], []
+    node0 = 1
+    for g in range(n_graphs):
+        n = int(rng.integers(4, 8))
+        label = g % 2
+        for u in range(n):
+            ind.append(g + 1)
+            nlab.append(int(rng.integers(0, 3)))
+        for u in range(n - 1):          # chain backbone
+            a.append((node0 + u, node0 + u + 1))
+            a.append((node0 + u + 1, node0 + u))
+        for _ in range(1 + 2 * label):  # label-correlated extra edges
+            u, v = rng.integers(0, n, 2)
+            if u != v:
+                a.append((node0 + int(u), node0 + int(v)))
+                a.append((node0 + int(v), node0 + int(u)))
+        glab.append(label)
+        node0 += n
+    (d / f"{name}_A.txt").write_text(
+        "\n".join(f"{u}, {v}" for u, v in a) + "\n")
+    (d / f"{name}_graph_indicator.txt").write_text(
+        "\n".join(map(str, ind)) + "\n")
+    (d / f"{name}_graph_labels.txt").write_text(
+        "\n".join(map(str, glab)) + "\n")
+    (d / f"{name}_node_labels.txt").write_text(
+        "\n".join(map(str, nlab)) + "\n")
+
+
+def test_tu_script_standard_format(tmp_path):
+    """train_tu from a raw standard-format tree (stratified k-fold path,
+    no GIN index files)."""
+    write_standard_tu_dataset(tmp_path)
+    from kpgnn_tpu.scripts.train_tu import main
+    acc = main(["--dataset_name", "TOYSTD", "--dataset_dir",
+                str(tmp_path), "--num_epochs", "2", "--folds", "3",
+                "--K", "2", "--hidden_size", "16", "--num_layer", "1",
+                "--save_dir", str(tmp_path)])
+    assert 0.0 <= acc <= 1.0
