@@ -64,7 +64,8 @@ def _collate_all(graphs, mcfg):
         "dense": [collate_dense(c, n_slot=N_SLOT, v1=v1, vk=vk,
                                 g_pad=BATCH) for c in chunks],
         "coo": [collate(c) for c in chunks],
-        "pallas": [collate_pallas(c, v1=v1, vk=vk) for c in chunks],
+        "pallas": [collate_pallas(c, v1=v1, vk=vk, tile_r=256,
+                                  wblock=512, egroup=4) for c in chunks],
     }
     edges = [int((np.asarray(b.adj.hop_attr) > 0).any(1).sum())
              for b in out["dense"]]
@@ -129,30 +130,42 @@ def _bench_resident(model, graphs, mcfg, example_batch, edges):
 
 
 def _bench_pallas_spmm(graphs, mcfg):
-    """Bare kernel: device-resident khop_spmm fwd, union edges/s."""
+    """Bare kernel: device-resident khop_spmm fwd, union edges/s, at the
+    tuned geometry (tile_r=256 x wblock=512 x egroup=4, tune_pallas).
+
+    CHAIN applications inside one jit: a standalone jitted call over the
+    tunnel pays a ~250 us host-dispatch floor that would swamp a ~230 us
+    kernel (see CLAUDE.md MEASUREMENT TRAP 2)."""
     from kpgnn_tpu.graph.batch import collate, collate_pallas
-    from kpgnn_tpu.ops.pallas_spmm import khop_spmm
+    from kpgnn_tpu.ops.pallas_spmm import gather_segment_sum
 
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
-    b = collate_pallas(graphs[:BATCH], v1=v1, vk=vk)
+    b = collate_pallas(graphs[:BATCH], v1=v1, vk=vk, tile_r=256,
+                       wblock=512, egroup=4)
     union_edges = int(np.asarray(
         collate(graphs[:BATCH]).adj.edge_mask).sum())
     plan = b.adj
     n = b.x.shape[0]
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(n, K, HIDDEN)).astype(np.float32))
-    t1 = jnp.asarray(rng.normal(size=(v1, HIDDEN)).astype(np.float32))
-    tk = jnp.asarray(rng.normal(size=(vk, HIDDEN)).astype(np.float32))
-    fn = jax.jit(lambda x: khop_spmm(x, t1, tk, plan))
-    out = fn(x)
-    jax.block_until_ready(out)
+    chain = 8
+    xs = jnp.asarray(rng.normal(size=(K * n, HIDDEN)).astype(np.float32))
+
+    def fn(xs):
+        for _ in range(chain):
+            xs = gather_segment_sum(xs, plan.fwd)
+        return xs
+
+    f = jax.jit(fn)
+    jax.block_until_ready(f(xs))
     best = 0.0
+    iters = max(ITERS // chain, 1)
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(x)
+        for _ in range(iters):
+            out = f(xs)
         jax.block_until_ready(out)
-        best = max(best, ITERS * union_edges / (time.perf_counter() - t0))
+        best = max(best, iters * chain * union_edges /
+                   (time.perf_counter() - t0))
     return best
 
 

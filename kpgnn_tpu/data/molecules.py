@@ -122,6 +122,114 @@ def load_qm9(root: str, targets_raw_order: bool = False) -> List[dict]:
     return graphs
 
 
+def _parse_sdf_v2000(text: str):
+    """Minimal V2000 molfile parser for one SDF record: returns
+    (symbols, pos (N,3) float, bonds [(a, b, type)], ok)."""
+    lines = text.split("\n")
+    counts = lines[3]
+    try:
+        n_atoms = int(counts[0:3])
+        n_bonds = int(counts[3:6])
+    except ValueError:
+        return None
+    syms, pos = [], []
+    for ln in lines[4:4 + n_atoms]:
+        parts = ln.split()
+        pos.append([float(v) for v in parts[:3]])
+        syms.append(parts[3])
+    bonds = []
+    for ln in lines[4 + n_atoms:4 + n_atoms + n_bonds]:
+        # fixed-width fields (atom indices can touch at >= 100 atoms)
+        a = int(ln[0:3]) - 1
+        b = int(ln[3:6]) - 1
+        t = int(ln[6:9])
+        bonds.append((a, b, t))
+    return syms, np.asarray(pos, np.float32), bonds
+
+
+QM9_TYPES = {"H": 0, "C": 1, "N": 2, "O": 3, "F": 4}
+QM9_ATOMIC_NUM = {"H": 1, "C": 6, "N": 7, "O": 8, "F": 9}
+
+
+def load_qm9_raw(root: str) -> List[dict]:
+    """Build QM9 from the raw gdb9 artifacts with a pure-python V2000
+    SDF parser — no rdkit needed (the reference requires rdkit for this
+    path, reference: datasets/QM9Dataset.py:186-299; its features are
+    reproduced exactly for unsanitized molecules: one-hot atom type,
+    atomic number, aromatic flag from bond-type-4 annotations,
+    sp/sp2/sp3 = 0 — rdkit leaves hybridization UNSPECIFIED under
+    sanitize=False — and H-neighbor counts).
+
+    Expects <root>/raw/gdb9.sdf, gdb9.sdf.csv, uncharacterized.txt.
+    Returns the same graph-dict schema as load_qm9 (y reordered [3:]+[ :3]
+    and unit-converted, edge_attr = bond code + 2).
+    """
+    raw = os.path.join(root, "raw")
+    sdf = os.path.join(raw, "gdb9.sdf")
+    csv = os.path.join(raw, "gdb9.sdf.csv")
+    unc = os.path.join(raw, "uncharacterized.txt")
+    if not (os.path.exists(sdf) and os.path.exists(csv)):
+        raise FileNotFoundError(
+            f"QM9 raw artifacts not found under {raw}: expected gdb9.sdf "
+            "+ gdb9.sdf.csv (+ uncharacterized.txt)")
+    with open(csv) as f:
+        rows = f.read().split("\n")[1:-1]
+    target = np.asarray([[float(v) for v in ln.split(",")[1:20]]
+                         for ln in rows], np.float64)
+    target = np.concatenate([target[:, 3:], target[:, :3]], axis=1)
+    target = target * QM9_CONVERSION[None, :]
+    skip = set()
+    if os.path.exists(unc):
+        with open(unc) as f:
+            skip = {int(x.split()[0]) - 1
+                    for x in f.read().split("\n")[9:-2]}
+
+    with open(sdf) as f:
+        records = f.read().split("$$$$\n")
+    graphs = []
+    for i, rec in enumerate(records):
+        if i in skip or not rec.strip():
+            continue
+        parsed = _parse_sdf_v2000(rec)
+        if parsed is None:
+            continue
+        syms, pos, bonds = parsed
+        n = len(syms)
+        z = np.asarray([QM9_ATOMIC_NUM[s] for s in syms], np.int64)
+        type_idx = np.asarray([QM9_TYPES[s] for s in syms], np.int64)
+        row, col, et = [], [], []
+        aromatic = np.zeros(n, np.float32)
+        for a, b, t in bonds:
+            row += [a, b]
+            col += [b, a]
+            et += 2 * [t - 1]            # SDF 1/2/3/4 -> 0/1/2/3 codes
+            if t == 4:
+                aromatic[a] = aromatic[b] = 1.0
+        ei = np.asarray([row, col], np.int64)
+        et = np.asarray(et, np.int64)
+        perm = np.argsort(ei[0] * n + ei[1], kind="stable")
+        ei, et = ei[:, perm], et[perm]
+        hs = (z == 1).astype(np.float32)
+        num_hs = np.zeros(n, np.float32)
+        np.add.at(num_hs, ei[1], hs[ei[0]])
+        x1 = np.eye(len(QM9_TYPES), dtype=np.float32)[type_idx]
+        x2 = np.stack([z.astype(np.float32), aromatic,
+                       np.zeros(n, np.float32),     # sp
+                       np.zeros(n, np.float32),     # sp2
+                       np.zeros(n, np.float32),     # sp3
+                       num_hs], axis=1)
+        graphs.append({
+            "num_nodes": n,
+            "edge_index": ei,
+            "edge_attr": et + 2,
+            "x": np.concatenate([x1, x2], axis=1),
+            "z": z,
+            "pos": pos,
+            "y": target[i].astype(np.float32),
+        })
+    return graphs
+
+
 def qm9_reorder_and_convert(target: np.ndarray) -> np.ndarray:
     """Raw 19-target row -> reference ordering and units: columns [3:]
     then [:3], scaled by the per-target unit conversion (Hartree->eV,

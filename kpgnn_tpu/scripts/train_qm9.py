@@ -42,8 +42,15 @@ def main(argv=None):
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"QM9t{args.task}")
 
-    raw = load_qm9(os.path.join(args.dataset_dir, "QM9"),
-                   targets_raw_order=args.qm9_raw_targets)
+    qm9_root = os.path.join(args.dataset_dir, "QM9")
+    if (not os.path.exists(os.path.join(qm9_root, "raw", "qm9_v3.pt"))
+            and os.path.exists(os.path.join(qm9_root, "raw", "gdb9.sdf"))):
+        # no preprocessed dump but raw gdb9 artifacts present: build from
+        # raw with the pure-python SDF parser (no rdkit needed)
+        from ..data.molecules import load_qm9_raw
+        raw = load_qm9_raw(qm9_root)
+    else:
+        raw = load_qm9(qm9_root, targets_raw_order=args.qm9_raw_targets)
     graphs = prepare(raw, args, "QM9")
 
     t = args.task

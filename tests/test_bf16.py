@@ -1,5 +1,6 @@
 """bfloat16 mixed precision: activations bf16, params/stats/losses f32."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def cfg(dtype):
         compute_dtype=dtype)
 
 
+@pytest.mark.slow
 def test_bf16_close_to_f32_and_trains():
     rng = np.random.default_rng(0)
     gs = [toy(6, 10, 3, rng) for _ in range(4)]

@@ -87,6 +87,7 @@ def test_generate_graph_families():
         assert F.shape == (12,)
 
 
+@pytest.mark.slow
 def test_property_dataset_shapes_and_normalization():
     raw = generate_property_dataset(seed=7)
     # keep the test light: regenerate a small slice instead of full 5k

@@ -112,3 +112,98 @@ def test_qm9_atomref():
     # is a small molecular residual, not thousands of eV
     z = np.array([1, 1, 8])
     assert abs(-2080.0 - qm9_atomref(7)[z].sum()) < 30.0
+
+
+def _write_qm9_raw_fixture(root):
+    """Two tiny molecules in byte-format gdb9 artifacts (V2000 SDF +
+    target CSV + uncharacterized skip list)."""
+    raw = root / "QM9" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+
+    def molblock(name, atoms, bonds):
+        lines = [name, "  toy", ""]
+        lines.append(f"{len(atoms):3d}{len(bonds):3d}  0  0  0  0  0  0  "
+                     "0  0999 V2000")
+        for (x, y, z, s) in atoms:
+            lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {s:<3s} 0  0  0  0"
+                         "  0  0  0  0  0  0  0  0")
+        for (a, b, t) in bonds:
+            lines.append(f"{a:3d}{b:3d}{t:3d}  0  0  0  0")
+        lines.append("M  END")
+        return "\n".join(lines) + "\n"
+
+    # methane-ish (C + 2 H) and an O=C fragment with a triple-bond N
+    m1 = molblock("mol1", [(0, 0, 0, "C"), (1, 0, 0, "H"), (0, 1, 0, "H")],
+                  [(1, 2, 1), (1, 3, 1)])
+    m2 = molblock("mol2", [(0, 0, 0, "C"), (1.2, 0, 0, "O"),
+                           (-1.2, 0, 0, "N")],
+                  [(1, 2, 2), (1, 3, 3)])
+    m3 = molblock("skipme", [(0, 0, 0, "F"), (1, 0, 0, "H")], [(1, 2, 1)])
+    (raw / "gdb9.sdf").write_text("$$$$\n".join([m1, m2, m3]) + "$$$$\n")
+    rows = ["tag,A,B,C,mu,alpha,homo,lumo,gap,r2,zpve,u0,u298,h298,g298,"
+            "cv,u0_atom,u298_atom,h298_atom,g298_atom"]
+    for i in range(3):
+        rows.append(",".join(["gdb_%d" % (i + 1)] +
+                             [str(float(i + 1))] * 19))
+    (raw / "gdb9.sdf.csv").write_text("\n".join(rows) + "\n")
+    # uncharacterized.txt: 9 header lines, entries, 2 footer lines
+    unc = [""] * 9 + ["3   something"] + ["", ""]
+    (raw / "uncharacterized.txt").write_text("\n".join(unc))
+
+
+def test_qm9_raw_sdf_loader(tmp_path):
+    from kpgnn_tpu.data.molecules import QM9_CONVERSION, load_qm9_raw
+    _write_qm9_raw_fixture(tmp_path)
+    graphs = load_qm9_raw(str(tmp_path / "QM9"))
+    assert len(graphs) == 2            # third molecule skipped
+    g1, g2 = graphs
+    assert g1["num_nodes"] == 3
+    # atom features: one-hot type + [z, aromatic, sp, sp2, sp3, num_hs]
+    assert g1["x"].shape == (3, 11)
+    np.testing.assert_array_equal(g1["z"], [6, 1, 1])
+    assert g1["x"][0, 1] == 1.0        # C one-hot
+    assert g1["x"][0, 10] == 2.0       # carbon has 2 H neighbors
+    # bond codes: single=0 -> +2 offset
+    np.testing.assert_array_equal(np.unique(g1["edge_attr"]), [2])
+    np.testing.assert_array_equal(np.unique(g2["edge_attr"]), [3, 4])
+    # edges sorted by sender-major order, both directions present
+    ei = g1["edge_index"]
+    assert (ei[0] * 3 + ei[1] == np.sort(ei[0] * 3 + ei[1])).all()
+    assert ei.shape[1] == 4
+    # y: reordered [3:]+[ :3] and unit-converted — row i is constant
+    # (i+1) pre-conversion, so y == (i+1) * conversion
+    np.testing.assert_allclose(g1["y"], 1.0 * QM9_CONVERSION, rtol=1e-6)
+    np.testing.assert_allclose(g2["y"], 2.0 * QM9_CONVERSION, rtol=1e-6)
+
+
+def test_qm9_script_from_raw_sdf(tmp_path):
+    """train_qm9 end-to-end from raw gdb9 artifacts (no qm9_v3.pt)."""
+    # need more molecules than the tiny parser fixture for a train run
+    raw = tmp_path / "QM9" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    recs, rows = [], ["tag," + ",".join(f"t{i}" for i in range(19))]
+    for i in range(20):
+        n = int(rng.integers(3, 6))
+        lines = [f"mol{i}", "  toy", "",
+                 f"{n:3d}{n - 1:3d}  0  0  0  0  0  0  0  0999 V2000"]
+        syms = ["C"] + list(rng.choice(["C", "N", "O", "H"], n - 1))
+        for j in range(n):
+            lines.append(f"{j:10.4f}{0.0:10.4f}{0.0:10.4f} {syms[j]:<3s}"
+                         " 0  0")
+        for j in range(n - 1):
+            t = int(rng.integers(1, 4))
+            lines.append(f"{j + 1:3d}{j + 2:3d}{t:3d}  0")
+        lines.append("M  END")
+        recs.append("\n".join(lines) + "\n")
+        rows.append(",".join([f"gdb_{i+1}"] +
+                             [f"{rng.normal():.6f}"] * 19))
+    (raw / "gdb9.sdf").write_text("$$$$\n".join(recs) + "$$$$\n")
+    (raw / "gdb9.sdf.csv").write_text("\n".join(rows) + "\n")
+
+    from kpgnn_tpu.scripts.train_qm9 import main
+    mae = main(["--num_epochs", "2", "--K", "2", "--num_layer", "2",
+                "--hidden_size", "16", "--batch_size", "4", "--task", "3",
+                "--save_dir", str(tmp_path), "--dataset_dir",
+                str(tmp_path)])
+    assert np.isfinite(mae)

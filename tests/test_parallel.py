@@ -235,6 +235,7 @@ def test_sharded_eval_step_matches_single_device():
     assert float(m1["count"]) == float(m2["count"])
 
 
+@pytest.mark.slow
 def test_trainer_node_parallel(tmp_path):
     from kpgnn_tpu.train import GraphLoader, TrainConfig, Trainer
     graphs = toy_graphs(16, seed=11)
@@ -420,8 +421,8 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
     from kpgnn_tpu.parallel import make_mesh, partition_adj
     from kpgnn_tpu.parallel.partition import attach_pallas_plans
 
-    n, K, D, V = 512, 3, 8, 6
-    adj, rng = random_coo(n=n, K=K, e=1500)
+    n, K, D, V = 256, 3, 8, 6
+    adj, rng = random_coo(n=n, K=K, e=700)
     x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
     t1 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
     tk = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
@@ -433,7 +434,7 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
     expect = khop_aggregate_adj(adj, x, t1, tk, scale=scale,
                                 sender_scale=sender_scale, aggr=aggr)
 
-    n_shards = 4
+    n_shards = 2
     sharded = attach_pallas_plans(partition_adj(adj, n_shards), v1=V, vk=V)
     assert sharded.plan is not None
     mesh = make_mesh(n_shards, axis_names=("node",))
@@ -456,7 +457,10 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
     assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-4), \
         np.abs(np.asarray(out) - np.asarray(expect)).max()
 
-    # gradients flow through the exchange + kernel transpose
+    # gradients flow through the exchange + kernel transpose (one mode
+    # suffices; the grad program is mode-independent apart from scales)
+    if mode != "scale":
+        return
     w = jnp.asarray(np.cos(np.arange(expect.size)).reshape(expect.shape),
                     jnp.float32)
     g_ref = jax.grad(

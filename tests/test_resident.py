@@ -115,6 +115,7 @@ def test_resident_eval_matches_evaluate(dataset, store):
     np.testing.assert_allclose(got["accuracy"], want["accuracy"], rtol=0)
 
 
+@pytest.mark.slow
 def test_trainer_resident_equals_standard(dataset):
     """Full Trainer runs, resident on vs off, shuffle disabled: identical
     epoch histories (same rng protocol, same batches)."""
@@ -161,6 +162,7 @@ def test_coo_gather_eval_matches_collate(dataset):
                                float(m1["correct"]), rtol=0)
 
 
+@pytest.mark.slow
 def test_coo_resident_train_step_matches_per_batch(dataset):
     """One train step on the COO store's slot layout vs the compact
     collate of the same graphs: identical loss and updated params.
@@ -200,6 +202,7 @@ def test_coo_resident_train_step_matches_per_batch(dataset):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_coo_resident_trainer_matches_per_batch(dataset):
     """Trainer on coo loaders, resident on vs off, shuffle disabled:
     agreeing epoch histories.  The layouts sum in different orders and
@@ -255,6 +258,7 @@ def test_coo_resident_parallel_epoch(dataset):
     assert np.isfinite(float(lsum))
 
 
+@pytest.mark.slow
 def test_parallel_resident_epoch_matches_dp_loop(dataset, store):
     """One-dispatch mesh epoch == the per-super-batch dp loop on the
     identical batch composition (shared parallel_train_step_body)."""
@@ -353,6 +357,7 @@ def test_parallel_resident_hierarchical_dcn_mesh(dataset, store):
     assert np.isfinite(float(lsum))
 
 
+@pytest.mark.slow
 def test_trainer_mesh_resident_learns(dataset):
     """Trainer with mesh + dense loaders takes the parallel resident path
     (one dispatch per epoch across the mesh) and still trains."""

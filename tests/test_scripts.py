@@ -85,6 +85,7 @@ def test_tu_script_gin_format(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_tu_script_dense_resident_matches_standard(tmp_path):
     """The resident fold loop is the dense per-batch fold loop (same
     protocol, same rng) — accuracies must match with shuffle fixed."""
@@ -159,6 +160,7 @@ def _write_qm9_fixture(root):
     torch.save(data_list, raw / "qm9_v3.pt")
 
 
+@pytest.mark.slow
 def test_qm9_script(tmp_path):
     _write_qm9_fixture(tmp_path)
     from kpgnn_tpu.scripts.train_qm9 import main
@@ -169,6 +171,7 @@ def test_qm9_script(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(DATA), reason="no shipped data")
+@pytest.mark.slow
 def test_exp_script(tmp_path):
     from kpgnn_tpu.scripts.train_exp import main
     acc = main(["--folds", "2", "--num_epochs", "1", "--K", "2",
@@ -178,6 +181,7 @@ def test_exp_script(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_csl_script(tmp_path):
     from kpgnn_tpu.scripts.train_csl import main
     acc = main(["--num_epochs", "1", "--K", "2", "--num_layer", "1",
@@ -186,6 +190,7 @@ def test_csl_script(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_graph_property_script(tmp_path):
     from kpgnn_tpu.scripts.train_graph_property import main
     score = main(["--data_scale", "0.02", "--runs", "1", "--num_epochs", "2", "--K", "2",
@@ -206,6 +211,7 @@ def test_node_property_script(tmp_path):
     assert np.isfinite(score)
 
 
+@pytest.mark.slow
 def test_search_script(tmp_path):
     from kpgnn_tpu.scripts.run_search import main
     res = main(["--preset", "structure_counting", "--limit", "1",
@@ -256,6 +262,7 @@ def write_standard_tu_dataset(root, name="TOYSTD", n_graphs=20):
         "\n".join(map(str, nlab)) + "\n")
 
 
+@pytest.mark.slow
 def test_tu_script_standard_format(tmp_path):
     """train_tu from a raw standard-format tree (stratified k-fold path,
     no GIN index files)."""

@@ -218,6 +218,7 @@ def test_gnnprime_trains_on_triangles(dataset):
     assert res["best_val"] > 0.8, res["best_val"]
 
 
+@pytest.mark.slow
 def test_activation_capture(dataset, tmp_path):
     from kpgnn_tpu.utils.parity import capture_activations, dump_activations
     from kpgnn_tpu.train import GraphLoader
@@ -282,6 +283,7 @@ def test_evaluate_single_sync_aggregation(dataset):
     assert np.allclose(out["mae_per_target"], [1.0, 3.0])
 
 
+@pytest.mark.slow
 def test_warm_start_from_checkpoint(dataset, tmp_path):
     """cfg.save_checkpoints writes best-val checkpoints under
     save_dir/checkpoints; cfg.load_path warm-starts a fresh Trainer (the
