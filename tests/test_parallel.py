@@ -411,18 +411,25 @@ def test_host_shard_loader_lockstep_groups():
         list(host_shard_loader(shard0, mesh, n_groups=1))
 
 
-@pytest.mark.parametrize("mode", ["add", "scale", "mean"])
+@pytest.mark.parametrize("mode", [
+    pytest.param("add", marks=pytest.mark.slow),
+    "scale",
+    pytest.param("mean", marks=pytest.mark.slow),
+])
 def test_sharded_pallas_aggregate_matches_coo(mode):
     """Halo exchange composed with the local Pallas SpMM kernel (the
     large-graph multi-chip path) vs the unsharded COO reference,
-    including gradients through the exchange + kernel."""
+    including gradients through the exchange + kernel.  Interpret-mode
+    kernels under shard_map are the suite's slowest programs, so only
+    the most complete mode (scale epilogue + grads) runs by default;
+    add/mean differ only in the epilogue and run with -m ''."""
     from jax.sharding import PartitionSpec as P
     from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
     from kpgnn_tpu.parallel import make_mesh, partition_adj
     from kpgnn_tpu.parallel.partition import attach_pallas_plans
 
     n, K, D, V = 256, 3, 8, 6
-    adj, rng = random_coo(n=n, K=K, e=700)
+    adj, rng = random_coo(n=n, K=K, e=400)
     x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
     t1 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
     tk = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
