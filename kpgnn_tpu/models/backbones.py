@@ -101,9 +101,11 @@ class _PeripheralEmbed(nn.Module):
             enc = FeatureConcatEncoder(
                 [self.num_hop1_edge + 2, self.max_edge_count + 1],
                 self.width, padding=True, name="peripheral_edge_embedding")
-            emb = enc(batch.peripheral_edge_attr)        # (N, K, T, W)
+            # encoder(attr).sum over the component axis, fused through
+            # the linear stack (histograms; no (N, K, T, W) intermediate)
+            emb = enc(batch.peripheral_edge_attr, sum_axis=-1)  # (N, K, W)
             pew = self.param("pew", normal_init(), (1,))
-            out = out + gate_fn(pew) * emb.sum(axis=-2)
+            out = out + gate_fn(pew) * emb
         if not self.wo_peripheral_configuration and batch.peripheral_config_attr is not None:
             enc = FeatureConcatEncoder(
                 [self.max_distance_count + 1] * (self.max_hop_num + 1),

@@ -32,22 +32,51 @@ class FeatureSumEncoder(nn.Module):
 class FeatureConcatEncoder(nn.Module):
     """Per-column embeddings, concatenated then projected — used for the
     peripheral edge / configuration embeddings
-    (reference: models/GNNs.py:92-97)."""
+    (reference: models/GNNs.py:92-97).
+
+    `sum_axis` (an axis of x[..., i], i.e. of x without its last dim)
+    computes `encoder(x).sum(axis=sum_axis)` without materializing the
+    per-element embeddings: the sum commutes through the linear
+    stack, so each column's contribution is histogram(x_i) @ table_i
+    and the projection bias is scaled by the summed length.  On the
+    flagship TPU step this removes the (N*K*T, H)-shaped intermediates
+    AND their backward scatters (the encoder output is summed over the
+    per-hop component axis at models/GNNs.py:172-179 in the reference).
+    """
 
     feature_dims: Sequence[int]
     hidden_size: int
     padding: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 sum_axis: Optional[int] = None) -> jnp.ndarray:
+        # sum_axis indexes into x[..., i] (x minus its trailing column
+        # axis); normalize it before the one-hot appends a value axis
+        if sum_axis is not None and sum_axis < 0:
+            sum_axis += x.ndim - 1
         embs = []
         for i, dim in enumerate(self.feature_dims):
             emb = PaddedEmbed(dim, self.hidden_size,
                               padding_idx=0 if self.padding else None,
                               name=f"emb{i}")
-            embs.append(emb(x[..., i]))
-        return TorchLinear(self.hidden_size, name="proj")(
+            if sum_axis is None:
+                embs.append(emb(x[..., i]))
+            else:
+                ids = x[..., i]
+                counts = jnp.sum(
+                    (ids[..., None] == jnp.arange(dim, dtype=ids.dtype))
+                    .astype(jnp.float32), axis=sum_axis)   # (..., dim)
+                embs.append(emb(counts, counts=True))
+        out = TorchLinear(self.hidden_size, name="proj")(
             jnp.concatenate(embs, axis=-1))
+        if sum_axis is not None:
+            # proj ran after the sum: its bias entered once instead of
+            # once per summed element
+            t = x.shape[sum_axis]
+            bias = self.get_variable("params", "proj")["bias"]
+            out = out + (t - 1) * bias.astype(out.dtype)
+        return out
 
 
 class EmbeddingEncoder(nn.Module):

@@ -37,6 +37,7 @@ from ..ops.adjacency import (
 )
 from .basic import MLP, TorchLinear
 from .combine import make_combine
+from .embed import small_table_lookup
 from .inits import fan_in_uniform_bias, kaiming_uniform, normal_init
 
 
@@ -62,7 +63,7 @@ def _add_path_encoding(x_hops, tpe, pe_attr):
     if tpe is None or pe_attr is None:
         return x_hops
     table = tpe.at[0].set(0.0).astype(x_hops.dtype)
-    return x_hops.at[:, 1:].add(table[pe_attr])
+    return x_hops.at[:, 1:].add(small_table_lookup(table, pe_attr))
 
 
 def _self_loop_row(t1, tk, K):

@@ -158,9 +158,11 @@ def khop_aggregate_adj(
               if tablek is not None else None)
     K = adj.K
     if isinstance(adj, COOAdj):
-        e1 = table1[adj.edge_attr[:, :1]]
-        e_emb = (jnp.concatenate([e1, tablek[adj.edge_attr[:, 1:]]], axis=-2)
-                 if K > 1 else e1)
+        from ..nn.embed import small_table_lookup
+        e1 = small_table_lookup(table1, adj.edge_attr[:, :1])
+        e_emb = (jnp.concatenate(
+            [e1, small_table_lookup(tablek, adj.edge_attr[:, 1:])], axis=-2)
+            if K > 1 else e1)
         edge_scale = None
         if scale is not None or sender_scale is not None:
             s_i = scale[adj.receivers] if scale is not None else 1.0
