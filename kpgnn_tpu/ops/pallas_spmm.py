@@ -49,6 +49,7 @@ scatter-add inside PyG MessagePassing).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import List, Optional, Tuple
 
 import jax
@@ -296,6 +297,7 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     tile_r = csr.tile_r
     tile_e = csr.senders2d.shape[1]
     n = csr.n_rows
+    x_orig = x
     D_in = x.shape[1]
     D = ((D_in + 127) // 128) * 128
     assert n % tile_r == 0, f"n_rows {n} must divide by {tile_r}"
@@ -329,14 +331,21 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
                      + (0 if x_resident
                         else 2 * csr.max_wblocks * csr.wblock * D * xbytes))
     if scratch_bytes > VMEM_SCRATCH_LIMIT:
-        raise ValueError(
-            f"kernel scratch {scratch_bytes/2**20:.1f} MiB exceeds "
+        # a single hub tile (huge edge segment or sender span) can blow
+        # the double-buffered scratch budget; rather than fail the whole
+        # train step, run this aggregation through the bit-compatible
+        # XLA gather/segment-sum path and tell the user why it is slow.
+        # (Fires at trace time — once per compiled shape, not per step.)
+        warnings.warn(
+            f"pallas plan scratch {scratch_bytes/2**20:.1f} MiB exceeds "
             f"{VMEM_SCRATCH_LIMIT/2**20:.0f} MiB (max_chunks="
             f"{csr.max_chunks}, max_wblocks={csr.max_wblocks}, "
-            f"wblock={csr.wblock}, D={D}); the batch has a receiver tile "
-            "with a huge edge segment or sender span — reorder nodes "
+            f"wblock={csr.wblock}, D={D}): one receiver tile has a huge "
+            "edge segment or sender span — falling back to the XLA "
+            "segment-sum path for this aggregation.  Reorder nodes "
             "(BFS/RCM) to shrink spans, raise wblock, or use the COO "
-            "backend for this batch")
+            "backend to avoid the fallback.", stacklevel=2)
+        return _gather_reference(x_orig, csr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

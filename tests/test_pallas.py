@@ -317,3 +317,21 @@ def test_collate_pallas_tile_r_pads_nodes():
     b = collate_pallas(gs, v1=6, vk=9, tile_r=256)
     assert b.x.shape[0] % 256 == 0
     assert b.adj.fwd.tile_r == 256
+
+
+def test_scratch_overflow_falls_back_to_xla(monkeypatch):
+    """A plan whose double-buffered scratch exceeds the VMEM budget must
+    not fail the train step: gather_segment_sum warns once (at trace
+    time) and routes through the bit-compatible XLA segment-sum path."""
+    rng = np.random.default_rng(3)
+    n, e, D = 256, 600, 16
+    senders = rng.integers(0, n - 1, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    csr = _build_one(receivers, senders, n, 128)
+    x = rng.normal(size=(n, D)).astype(np.float32)
+    monkeypatch.setattr(ps, "VMEM_SCRATCH_LIMIT", 1)
+    with pytest.warns(UserWarning, match="falling back"):
+        out = gather_segment_sum(jnp.asarray(x), csr, interpret=True)
+    expect = np.zeros((n, D), np.float32)
+    np.add.at(expect, receivers, x[senders])
+    assert np.allclose(np.asarray(out), expect, atol=1e-4)
