@@ -22,11 +22,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# stages update this as they complete; the deadline watchdog emits it
+# as the promised JSON line if a later stage hangs (a stuck remote
+# compile must not cost the whole bench)
+_partial: dict = {}
+_T0 = time.time()
+
+
+def _mark(stage: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {stage}",
+          file=sys.stderr, flush=True)
 
 K, L, HIDDEN, BATCH = 8, 8, 104, 64
 N_SLOT = 40          # dense mode slot size (ZINC graphs are <= 37 nodes)
@@ -276,23 +288,58 @@ def _device_watchdog(timeout_s: float = 300.0):
     done.set()
 
 
+def _deadline_watchdog(deadline_s: float):
+    """Emit whatever has been measured so far and exit if the whole run
+    exceeds `deadline_s` — a hung remote compile in one stage must not
+    leave the driver with no JSON line at all."""
+    import threading
+
+    def fire():
+        time.sleep(deadline_s)
+        backends = _partial.get("backends", {})
+        numeric = {k: v for k, v in backends.items()
+                   if isinstance(v, float) and k != "dense_bf16"}
+        headline = max(numeric.values()) if numeric else 0.0
+        coo = numeric.get("coo", 0.0)
+        print(json.dumps({
+            "metric": "khop_train_edges_per_s_per_chip",
+            "value": headline, "unit": "edges/s",
+            "vs_baseline": round(headline / coo, 3) if coo else None,
+            "error": f"bench exceeded {deadline_s:.0f}s deadline at stage "
+                     f"{_partial.get('stage', 'startup')!r}; partial results",
+            **{k: v for k, v in _partial.items() if k != "stage"},
+        }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
+    _deadline_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
+    _mark("device up; building model + collating")
     model, mcfg, graphs, model_bf16 = _model_and_graphs()
     batched, edges = _collate_all(graphs, mcfg)
 
     backends = {}
+    _partial["backends"] = backends
     for name in ("dense", "coo", "pallas"):
+        _partial["stage"] = name
+        _mark(f"backend {name}: compile + measure")
         try:
             backends[name] = round(_bench_backend(model, batched[name],
                                                   edges), 1)
         except Exception as e:          # a backend must never sink the bench
             backends[name] = f"error: {type(e).__name__}: {e}"[:120]
+    _partial["stage"] = "dense_bf16"
+    _mark("backend dense_bf16")
     try:                                # mixed precision on the fast path
         backends["dense_bf16"] = round(
             _bench_backend(model_bf16, batched["dense"], edges), 1)
     except Exception as e:
         backends["dense_bf16"] = f"error: {type(e).__name__}: {e}"[:120]
+    _partial["stage"] = "dense_resident"
+    _mark("backend dense_resident")
     try:                                # resident scan epochs (the Trainer
         backends["dense_resident"] = round(   # default on dense loaders)
             _bench_resident(model, graphs, mcfg, batched["dense"][0],
@@ -317,11 +364,14 @@ def main():
     headline = numeric[headline_name]
     coo = numeric.get("coo", 0.0)
 
+    _partial["stage"] = "pallas_spmm"
+    _mark("bare pallas khop_spmm kernel")
     spmm = 0.0
     try:
         spmm = round(_bench_pallas_spmm(graphs, mcfg), 1)
     except Exception:
         pass
+    _partial["pallas_spmm_fwd_edges_per_s"] = spmm
 
     # batch-scaling check (r3 finding): batch 64 is measured-optimal —
     # the 6 ms device step already dwarfs the ~0.1 ms dispatch latency,
@@ -331,6 +381,8 @@ def main():
     # 6.4x for 4x batch at (N, L*H) JK-concat activation scale).  This
     # entry tracks that the regression stays understood, not a headline.
     big = "n/a"
+    _partial["stage"] = "dense_batch256"
+    _mark("dense batch-256 scaling check")
     try:
         from kpgnn_tpu.graph.batch import collate_dense
         v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
@@ -341,11 +393,18 @@ def main():
     except Exception as e:
         big = f"error: {type(e).__name__}"[:60]
 
+    _partial["dense_batch256_edges_per_s"] = big
+
+    _partial["stage"] = "large_graph"
+    _mark("large-graph regime (n=8192 polymers)")
     try:
         large = _bench_large_graph()
     except Exception as e:
         large = {"error": f"{type(e).__name__}: {e}"[:120]}
+    _partial["large_graph"] = large
 
+    _partial["stage"] = "matmul_peak"
+    _mark("measured matmul peak + step flops")
     peak = _measured_matmul_peak()
     flops_key = ("dense" if headline_name.startswith("dense")
                  else headline_name)
