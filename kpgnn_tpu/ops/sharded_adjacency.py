@@ -65,6 +65,10 @@ class ShardedCOOAdj:
     # extended sender-table rows the plans were built for (n_local + P*B
     # rounded up to the kernel tile); x_ext pads to this before the kernel
     n_ext_pad: int = struct.field(pytree_node=False, default=0)
+    # optional {k: stacked plan over the first k hop columns} for the
+    # hop windows the model requests via slice_hops (GNNPlus sliding
+    # windows); without it a sliced view falls back to XLA segment-sum
+    plan_by_k: Optional[dict] = None
 
     @property
     def K(self) -> int:
@@ -79,10 +83,15 @@ class ShardedCOOAdj:
         return self.send_rows.shape[-1]
 
     def slice_hops(self, k: int) -> "ShardedCOOAdj":
-        # the stacked pallas plans are not hop-sliceable (per-shard edge
-        # counts differ, so the slice offsets are not static); sliced
-        # views fall back to the XLA segment-sum path
-        return self.replace(edge_attr=self.edge_attr[..., :k], plan=None)
+        if k >= self.K:
+            return self
+        # the full-K stacked plans are not hop-sliceable in place (per-
+        # shard hop offsets differ, so the slice points are not static);
+        # windows pre-built by attach_pallas_plans(hop_windows=...) keep
+        # the kernel, anything else falls back to XLA segment-sum
+        sub = self.plan_by_k.get(k) if self.plan_by_k else None
+        return self.replace(edge_attr=self.edge_attr[..., :k], plan=sub,
+                            plan_by_k=None)
 
     def local(self) -> "ShardedCOOAdj":
         """Drop the (split-to-1) leading shard axis inside shard_map."""

@@ -123,49 +123,29 @@ def partition_adj(adj: COOAdj, n_shards: int,
         boundary=tuple(boundary))
 
 
-def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
-                        tile_r: Optional[int] = None,
-                        wblock: Optional[int] = None,
-                        egroup: Optional[int] = None) -> ShardedCOOAdj:
-    """Build one rectangular fused-CSR Pallas plan per shard (senders in
-    the halo-extended table, receivers in the owned range) and stack them
-    so the node-sharded aggregation runs through the SpMM kernel after
-    the halo exchange instead of XLA segment-sum.
+def _stacked_plan(adj: ShardedCOOAdj, k: int, v1: int, vk: int,
+                  tile_r: int, wblock: int, egroup: int, n_ext_pad: int):
+    """One rectangular fused-CSR plan per shard over the first `k` hop
+    columns (senders in the halo-extended table, receivers in the owned
+    range), statics unified to the per-shard maxima so the plans stack
+    into one pytree (the kernel predicates off unused slots)."""
+    from ..ops.pallas_spmm import _buf_rows, build_plan
 
-    Statics (max_chunks/max_wblocks/array heights) are unified to the
-    per-shard maxima so the stacked plans form one pytree; hop slicing is
-    unsupported on the stacked plans (per-shard hop offsets differ), so
-    GNNPlus-style hop windows fall back to the segment-sum path.
-    """
-    from ..ops.pallas_spmm import (EGROUP, TILE_R, WBLOCK, _buf_rows,
-                                   build_plan)
-
-    tile_r = tile_r or TILE_R
-    wblock = wblock or WBLOCK
-    egroup = egroup or EGROUP
-    if adj.n_local % tile_r:
-        raise ValueError(
-            f"n_local={adj.n_local} must divide by tile_r={tile_r} for "
-            "the sharded Pallas path (collate with node_multiple = "
-            "n_shards * tile_r)")
-    P_ = adj.n_shards
-    n_ext = adj.n_local + P_ * adj.halo
-    n_ext_pad = _round_up(n_ext, tile_r)
     S = np.asarray(adj.senders)
     R = np.asarray(adj.receivers)
     A = np.asarray(adj.edge_attr)
     M = np.asarray(adj.edge_mask)
     plans = []
-    for i in range(P_):
+    for i in range(adj.n_shards):
         m = M[i]
+        # all union edges are passed (not just those live in hops <= k):
+        # dead rows contribute nothing to the per-hop CSRs, and the
+        # union in-degree (the mean denominator) must keep counting
+        # them, exactly like slicing edge_attr columns on the COO path
         plans.append(build_plan(
-            R[i][m], S[i][m], A[i][m], adj.n_local, v1, vk,
+            R[i][m], S[i][m], A[i][m][:, :k], adj.n_local, v1, vk,
             tile_r=tile_r, wblock=wblock, egroup=egroup,
             n_cols_nodes=n_ext_pad))
-    # unify statics so the per-shard plans stack into one pytree: loop
-    # bounds take the maxima (the kernel predicates off unused slots) and
-    # the flat arrays pad to common heights with null edges
-    k = plans[0].n_hops
     for attr_name in ("fwd", "bwd"):
         csrs = [getattr(p, attr_name) for p in plans]
         mc = max(c.max_chunks for c in csrs)
@@ -192,8 +172,49 @@ def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
             edge_code=jnp.concatenate(
                 [p.edge_code[:flat_len],
                  jnp.zeros((max(pad, 0),), jnp.int32)]))
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
-    return adj.replace(plan=stacked, n_ext_pad=n_ext_pad)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+
+
+def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
+                        tile_r: Optional[int] = None,
+                        wblock: Optional[int] = None,
+                        egroup: Optional[int] = None,
+                        hop_windows=None) -> ShardedCOOAdj:
+    """Attach stacked per-shard Pallas plans so the node-sharded
+    aggregation runs through the SpMM kernel after the halo exchange
+    instead of XLA segment-sum.
+
+    `hop_windows`: hop-window sizes k < K the model will request via
+    `slice_hops` (GNNPlus layers use k_l = min(l, K), reference:
+    models/GNNs.py:381); a stacked plan is built per window so sliced
+    adjacencies keep the kernel instead of falling back to segment-sum.
+    Pass True for every window 1..K-1.
+    """
+    from ..ops.pallas_spmm import EGROUP, TILE_R, WBLOCK
+
+    tile_r = tile_r or TILE_R
+    wblock = wblock or WBLOCK
+    egroup = egroup or EGROUP
+    if adj.n_local % tile_r:
+        raise ValueError(
+            f"n_local={adj.n_local} must divide by tile_r={tile_r} for "
+            "the sharded Pallas path (collate with node_multiple = "
+            "n_shards * tile_r)")
+    K = adj.K
+    n_ext = adj.n_local + adj.n_shards * adj.halo
+    n_ext_pad = _round_up(n_ext, tile_r)
+    stacked = _stacked_plan(adj, K, v1, vk, tile_r, wblock, egroup,
+                            n_ext_pad)
+    plan_by_k = None
+    if hop_windows:
+        if hop_windows is True:
+            hop_windows = range(1, K)
+        ks = sorted({int(k) for k in hop_windows if 0 < int(k) < K})
+        plan_by_k = {k: _stacked_plan(adj, k, v1, vk, tile_r, wblock,
+                                      egroup, n_ext_pad)
+                     for k in ks} or None
+    return adj.replace(plan=stacked, n_ext_pad=n_ext_pad,
+                       plan_by_k=plan_by_k)
 
 
 def partition_batch(batch: GraphBatch, n_shards: int,
@@ -220,11 +241,13 @@ def batch_pspecs(batch: GraphBatch, axis: str = "node",
     def ns(v):
         return node if v is not None else None
 
+    def stacked(v):
+        return None if v is None else jax.tree.map(lambda _: node, v)
+
     adj = batch.adj.replace(
         senders=node, receivers=node, edge_attr=node, edge_mask=node,
-        send_rows=node,
-        plan=(None if batch.adj.plan is None
-              else jax.tree.map(lambda _: node, batch.adj.plan)))
+        send_rows=node, plan=stacked(batch.adj.plan),
+        plan_by_k=stacked(batch.adj.plan_by_k))
     return batch.replace(
         x=node, node_mask=node, node_graph_ids=node,
         pe_attr=ns(batch.pe_attr),
@@ -343,10 +366,11 @@ def make_sharded_eval_step(model, mesh: Mesh, loss: str = "l1",
     return jax.jit(step)
 
 
-def partition_loader(loader, n_shards: int, axis: str = "node"):
+def partition_loader(loader, n_shards: int, axis: str = "node",
+                     pallas: Optional[dict] = None):
     """Wrap a GraphLoader stream, partitioning every batch."""
     for b in loader:
-        yield partition_batch(b, n_shards, axis)
+        yield partition_batch(b, n_shards, axis, pallas=pallas)
 
 
 class PartitionedLoader:
@@ -354,14 +378,18 @@ class PartitionedLoader:
     to evaluate() every epoch).  Deterministic loaders are partitioned
     once and replayed; shuffled ones re-partition each epoch."""
 
-    def __init__(self, loader, n_shards: int, axis: str = "node"):
+    def __init__(self, loader, n_shards: int, axis: str = "node",
+                 pallas: Optional[dict] = None):
         self.loader, self.n_shards, self.axis = loader, n_shards, axis
+        self.pallas = pallas
         self._cache = None
 
     def __iter__(self):
         if getattr(self.loader, "shuffle", True):
-            return partition_loader(self.loader, self.n_shards, self.axis)
+            return partition_loader(self.loader, self.n_shards, self.axis,
+                                    self.pallas)
         if self._cache is None:
             self._cache = list(
-                partition_loader(self.loader, self.n_shards, self.axis))
+                partition_loader(self.loader, self.n_shards, self.axis,
+                                 self.pallas))
         return iter(self._cache)
