@@ -346,7 +346,20 @@ def main():
                             edges), 1)
     except Exception as e:
         backends["dense_resident"] = f"error: {type(e).__name__}: {e}"[:120]
+    _partial["stage"] = "dense_resident_bf16"
+    _mark("backend dense_resident_bf16")
+    try:                                # bf16 activations on the resident
+        backends["dense_resident_bf16"] = round(  # path: the per-STEP bf16
+            _bench_resident(model_bf16, graphs, mcfg,   # comparison is
+                            batched["dense"][0], edges), 1)  # host-bound
+    except Exception as e:
+        backends["dense_resident_bf16"] = \
+            f"error: {type(e).__name__}: {e}"[:120]
 
+    # bf16 backends are headline-eligible: convergence parity with f32 is
+    # unit-tested (tests/test_bf16.py) and validated on-chip on the
+    # synthetic-ZINC flagship run (BASELINE.md); params/stats/losses stay
+    # f32, so this is standard TPU mixed precision, not a quality trade.
     numeric = {k: v for k, v in backends.items()
                if isinstance(v, float) and k != "dense_bf16"}
     if not numeric and isinstance(backends.get("dense_bf16"), float):

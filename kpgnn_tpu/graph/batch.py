@@ -324,11 +324,16 @@ def collate_pallas(
     (ops/pallas_spmm.py) — the fast sparse backend for every layer
     family.  tile_r/tile_e/wblock/egroup override the kernel grid
     geometry (multiples of 128 / chunks per matmul; n_pad is raised to a
-    tile_r multiple)."""
+    tile_r multiple).  When tile_r is not given it auto-picks the
+    measured-optimal 256 (tune_pallas on v5e: 256x512x4 geometry) for
+    batches that already pad to >= 256 nodes, keeping 128 only for tiny
+    fixtures whose n_pad would otherwise double."""
     from ..ops.pallas_spmm import (EGROUP, TILE_E, TILE_R, WBLOCK,
                                    build_plan)
 
-    tile_r = tile_r or TILE_R
+    if tile_r is None:
+        est = n_pad if n_pad is not None else pad_sizes(graphs, spec)[0]
+        tile_r = 256 if est >= 256 else TILE_R
     tile_e = tile_e or TILE_E
     wblock = wblock or WBLOCK
     egroup = egroup or EGROUP

@@ -103,7 +103,12 @@ class ShardedCOOAdj:
             send_rows=(self.send_rows[0]
                        if self.send_rows.ndim == 3 else self.send_rows),
             plan=(None if self.plan is None
-                  else jax.tree.map(lambda a: a[0], self.plan)))
+                  else jax.tree.map(lambda a: a[0], self.plan)),
+            # window plans get the same treatment so slice_hops after
+            # local() installs a correctly-shaped (non-stacked) plan
+            plan_by_k=(None if self.plan_by_k is None else {
+                k: jax.tree.map(lambda a: a[0], p)
+                for k, p in self.plan_by_k.items()}))
 
     # --- accounting -------------------------------------------------
     def boundary_total(self) -> int:

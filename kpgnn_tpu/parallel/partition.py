@@ -185,8 +185,8 @@ def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
     instead of XLA segment-sum.
 
     `hop_windows`: hop-window sizes k < K the model will request via
-    `slice_hops` (GNNPlus layers use k_l = min(l, K), reference:
-    models/GNNs.py:381); a stacked plan is built per window so sliced
+    `slice_hops` (GNNPlus layer l uses k = min(l+1, K), reference:
+    models/GNNs.py:419); a stacked plan is built per window so sliced
     adjacencies keep the kernel instead of falling back to segment-sum.
     Pass True for every window 1..K-1.
     """

@@ -1,17 +1,27 @@
 """Pallas k-hop SpMM autotuner: sweep kernel grid geometry on-device.
 
-Builds the same flagship-shaped batch once per (tile_r, tile_e)
-geometry, times the device-resident forward and backward of
-`khop_spmm`, and reports union-edges/s for each point plus the winner.
-Use it to pick `--pallas_tile_r/--pallas_tile_e` (or the collate
-defaults) for a new chip or a new batch shape.
+Builds the same flagship-shaped batch once per geometry, times the
+device-resident forward and forward+backward of the kernel, and reports
+union-edges/s for each point plus the winner.  Use it to pick
+`--pallas_tile_r/--pallas_wblock/--pallas_egroup` (or trust the collate
+auto-pick) for a new chip or a new batch shape.
 
-The sweep exists because the right geometry is hardware-dependent: the
-128x128 default fills one MXU pass per chunk, larger edge tiles amortize
-per-chunk bookkeeping (window offset math, predication) but pad more
-null edges, and larger row tiles cut grid steps but grow the sender
-window.  None of that is predictable from first principles across
-generations — measure it.
+Timing methodology (MUST match bench.py's `_bench_pallas_spmm`): chain
+`--chain` dependent applications inside ONE jit and divide by the chain
+length.  Two traps this avoids on a tunnel-attached chip:
+
+  * a standalone jitted call pays a ~250 us host-dispatch floor that
+    swamps a ~200 us kernel (CLAUDE.md MEASUREMENT TRAP 2);
+  * repeated dispatches **with identical inputs** get result-cached by
+    the remote executor and report up to ~1.8x the real device rate —
+    this is exactly the round-3 90.2M (chained bench) vs 160.8M
+    (per-dispatch tuner) discrepancy.  Dependent chaining feeds each
+    application the previous output, so nothing can be cached away.
+
+The sweep exists because the right geometry is hardware-dependent:
+larger row tiles cut grid steps but grow the sender window, larger
+egroups amortize per-matmul cost but pad more null edges.  None of that
+is predictable from first principles across generations — measure it.
 
 No reference counterpart (upstream has no kernels); this is the TPU
 analog of a CUDA occupancy/tile tuner.
@@ -27,16 +37,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _throughput(fn, args, edges, iters):
-    out = fn(*args)
+def _chained_throughput(chained_fn, x0, edges, iters, chain):
+    """edges/s of one application, measured as a dependent chain of
+    `chain` applications inside one jit."""
+    f = jax.jit(chained_fn)
+    out = f(x0)
     jax.block_until_ready(out)
     best = 0.0
+    reps = max(iters // chain, 1)
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
+        for _ in range(reps):
+            out = f(x0)
         jax.block_until_ready(out)
-        best = max(best, iters * edges / (time.perf_counter() - t0))
+        best = max(best, reps * chain * edges / (time.perf_counter() - t0))
     return best
 
 
@@ -45,7 +59,9 @@ def main(argv=None):
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--hidden_size", type=int, default=104)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--iters", type=int, default=96)
+    p.add_argument("--chain", type=int, default=8,
+                   help="dependent applications fused per jit dispatch")
     # tile_e is pinned to 128 by a Mosaic DMA-lowering constraint (see
     # ops/pallas_spmm.py build_plan); the sweepable axes are tile_r, the
     # window sub-block height wblock, and the chunks-per-matmul egroup
@@ -56,7 +72,7 @@ def main(argv=None):
 
     from kpgnn_tpu.data.synthetic import synthetic_molecules
     from kpgnn_tpu.graph.batch import collate, collate_pallas
-    from kpgnn_tpu.ops.pallas_spmm import khop_spmm
+    from kpgnn_tpu.ops.pallas_spmm import _gather_segment, gather_segment_sum
     from kpgnn_tpu.prep import KHopConfig
 
     kcfg = KHopConfig(K=args.K, kernel="spd", max_edge_attr_num=30,
@@ -76,27 +92,38 @@ def main(argv=None):
                            egroup=eg)
         plan = b.adj
         n = b.x.shape[0]
-        x = jnp.asarray(rng.normal(
-            size=(n, args.K, args.hidden_size)).astype(np.float32))
-        t1 = jnp.asarray(rng.normal(
-            size=(v1, args.hidden_size)).astype(np.float32))
-        tk = jnp.asarray(rng.normal(
-            size=(vk, args.hidden_size)).astype(np.float32))
-        fwd = jax.jit(lambda x, t1, tk: khop_spmm(x, t1, tk, plan))
+        # the bare fused-hop kernel on the hop-major flat layout — the
+        # exact op bench.py's pallas_spmm_fwd_edges_per_s times
+        x0 = jnp.asarray(rng.normal(
+            size=(args.K * n, args.hidden_size)).astype(np.float32))
 
-        def loss(x, t1, tk):
-            return khop_spmm(x, t1, tk, plan).sum()
+        def fwd_chain(x, plan=plan):
+            for _ in range(args.chain):
+                x = gather_segment_sum(x, plan.fwd)
+            return x
 
-        bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-        f = _throughput(fwd, (x, t1, tk), union_edges, args.iters)
-        bw = _throughput(bwd, (x, t1, tk), union_edges, args.iters)
-        # a train step runs one forward + one backward per aggregation and
-        # the backward is ~2x the forward's work, so rank geometries by
-        # the combined step time (1/f + 1/b), not forward alone
+        # fwd+bwd: grad of a chained scalar loss runs `chain` forward
+        # kernels and `chain` transpose kernels, all dependent
+        # (_gather_segment is the custom-vjp wrapper khop_spmm uses)
+        def loss(x, plan=plan):
+            for _ in range(args.chain):
+                x = _gather_segment(x, plan.fwd, plan.bwd)
+            return jnp.sum(x * x)
+
+        def fwdbwd_chain(x, plan=plan):
+            return jax.grad(loss)(x)
+
+        f = _chained_throughput(fwd_chain, x0, union_edges, args.iters,
+                                args.chain)
+        fb = _chained_throughput(fwdbwd_chain, x0, union_edges,
+                                 args.iters, args.chain)
+        # fb runs 2*chain kernels per chain unit of edges: per-kernel
+        # rate for the step estimate is 2*fb; a train step runs one fwd
+        # + one bwd, so step rate = 1 / (1/f + 1/(2*fb)) ... simpler and
+        # honest: report fwd and fwd+bwd-combined rates directly
         row = {
             "fwd_edges_per_s": round(f, 1),
-            "bwd_edges_per_s": round(bw, 1),
-            "step_edges_per_s": round(1.0 / (1.0 / f + 1.0 / bw), 1),
+            "fwdbwd_edges_per_s": round(fb, 1),
             "n_pad": n,
             "max_wblocks": plan.fwd.max_wblocks,
             "max_chunks": plan.fwd.max_chunks,
@@ -104,7 +131,7 @@ def main(argv=None):
         results[geom] = row
         print(json.dumps({"geometry": geom, **row}), flush=True)
 
-    best = max(results, key=lambda g: results[g]["step_edges_per_s"])
+    best = max(results, key=lambda g: results[g]["fwdbwd_edges_per_s"])
     print(json.dumps({"best_geometry": best, **results[best]}))
 
 

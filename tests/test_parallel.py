@@ -487,3 +487,93 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
         lambda xx: loss_sh(sharded, xx, scale, sender_scale, w))(x)
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4), \
         np.abs(np.asarray(g_sh) - np.asarray(g_ref)).max()
+
+
+def test_sharded_pallas_hop_windows_keep_kernel():
+    """slice_hops on a window-planned sharded adjacency must install the
+    pre-built k-hop plan (not fall back to segment-sum) and match the
+    unsharded COO reference, gradients included (the GNNPlus sliding
+    window under node sharding: layer l slices to k = min(l+1, K))."""
+    from jax.sharding import PartitionSpec as P
+    from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
+    from kpgnn_tpu.parallel import make_mesh, partition_adj
+    from kpgnn_tpu.parallel.partition import attach_pallas_plans
+
+    n, K, D, V = 256, 3, 8, 6
+    adj, rng = random_coo(n=n, K=K, e=200)
+    x = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
+    t1 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    tk = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+
+    n_shards = 2
+    sharded = attach_pallas_plans(partition_adj(adj, n_shards), v1=V, vk=V,
+                                  hop_windows=True)
+    assert set(sharded.plan_by_k) == {1, 2}
+    mesh = make_mesh(n_shards, axis_names=("node",))
+    node = P("node")
+    stacked_spec = lambda v: (None if v is None
+                              else jax.tree.map(lambda _: node, v))
+    sh_specs = sharded.replace(
+        senders=node, receivers=node, edge_attr=node, edge_mask=node,
+        send_rows=node, plan=stacked_spec(sharded.plan),
+        plan_by_k=stacked_spec(sharded.plan_by_k))
+
+    for k in (1, 2, 3):
+        expect = khop_aggregate_adj(adj.slice_hops(k), x[:, :k], t1,
+                                    tk if k > 1 else None)
+
+        def per_device(adj_s, x_s, k=k):
+            sl = adj_s.slice_hops(k)
+            assert sl.plan is not None          # kernel path kept
+            return khop_aggregate_adj(sl, x_s[:, :k], t1,
+                                      tk if k > 1 else None)
+
+        fn = jax.shard_map(per_device, mesh=mesh,
+                           in_specs=(sh_specs, node), out_specs=node)
+        out = fn(sharded, x)
+        assert np.allclose(np.asarray(out), np.asarray(expect),
+                           atol=1e-4), (k, np.abs(
+                               np.asarray(out) - np.asarray(expect)).max())
+
+    # gradients through a sliced window plan under shard_map
+    k = 2
+    w = jnp.asarray(np.cos(np.arange(n * k * D)).reshape(n, k, D),
+                    jnp.float32)
+    g_ref = jax.grad(lambda xx: jnp.sum(khop_aggregate_adj(
+        adj.slice_hops(k), xx[:, :k], t1, tk) * w))(x)
+    loss_sh = jax.shard_map(
+        lambda adj_s, x_s, w_s: jax.lax.psum(
+            jnp.sum(khop_aggregate_adj(
+                adj_s.slice_hops(k), x_s[:, :k], t1, tk) * w_s), "node"),
+        mesh=mesh, in_specs=(sh_specs, node, node), out_specs=P())
+    g_sh = jax.grad(lambda xx: loss_sh(sharded, xx, w))(x)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4), \
+        np.abs(np.asarray(g_sh) - np.asarray(g_ref)).max()
+
+    # and the slice matches the segment-sum fallback (no plan attached)
+    plain = partition_adj(adj, n_shards)
+    pl_specs = plain.replace(senders=node, receivers=node, edge_attr=node,
+                             edge_mask=node, send_rows=node)
+    out_fb = jax.shard_map(
+        lambda adj_s, x_s: khop_aggregate_adj(
+            adj_s.slice_hops(k), x_s[:, :k], t1, tk),
+        mesh=mesh, in_specs=(pl_specs, node), out_specs=node)(plain, x)
+    expect2 = khop_aggregate_adj(adj.slice_hops(k), x[:, :k], t1, tk)
+    assert np.allclose(np.asarray(out_fb), np.asarray(expect2), atol=1e-4)
+
+
+def test_sharded_local_strips_window_plans():
+    """local() must strip the stacked shard axis from plan_by_k so a
+    local()-then-slice call order installs correctly-shaped plans."""
+    from kpgnn_tpu.parallel import partition_adj
+    from kpgnn_tpu.parallel.partition import attach_pallas_plans
+
+    adj, _ = random_coo(n=256, K=3, e=200)
+    sharded = attach_pallas_plans(partition_adj(adj, 2), v1=6, vk=6,
+                                  hop_windows=[2])
+    one = jax.tree.map(lambda a: a[:1], sharded)    # shard 0's slice
+    loc = one.local()
+    assert loc.plan_by_k[2].fwd.senders2d.ndim == 2
+    sl = loc.slice_hops(2)
+    assert sl.plan is not None
+    assert sl.plan.fwd.senders2d.ndim == 2
