@@ -97,10 +97,15 @@ class _PeripheralEmbed(nn.Module):
         n = batch.n_pad
         gate_fn = jax.nn.sigmoid if self.gate == "sigmoid" else jnp.tanh
         out = jnp.zeros((n, K, self.width))
+        # NOTE: the reference passes padding=0 (falsy) to these encoders
+        # (models/GNNs.py:92-97), so row 0 is NOT zeroed — absent
+        # peripheral slots contribute the (learned) row-0 embedding.
+        # Matching that is required for activation parity; padded node
+        # rows are masked out downstream either way.
         if not self.wo_peripheral_edge and batch.peripheral_edge_attr is not None:
             enc = FeatureConcatEncoder(
                 [self.num_hop1_edge + 2, self.max_edge_count + 1],
-                self.width, padding=True, name="peripheral_edge_embedding")
+                self.width, padding=False, name="peripheral_edge_embedding")
             # encoder(attr).sum over the component axis, fused through
             # the linear stack (histograms; no (N, K, T, W) intermediate)
             emb = enc(batch.peripheral_edge_attr, sum_axis=-1)  # (N, K, W)
@@ -109,7 +114,7 @@ class _PeripheralEmbed(nn.Module):
         if not self.wo_peripheral_configuration and batch.peripheral_config_attr is not None:
             enc = FeatureConcatEncoder(
                 [self.max_distance_count + 1] * (self.max_hop_num + 1),
-                self.width, padding=True,
+                self.width, padding=False,
                 name="peripheral_configuration_embedding")
             pcw = self.param("pcw", normal_init(), (1,))
             out = out + gate_fn(pcw) * enc(batch.peripheral_config_attr)

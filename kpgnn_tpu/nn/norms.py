@@ -20,6 +20,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.segment import segment_sum as _seg_sum
 from flax import linen as nn
 
 
@@ -105,18 +107,15 @@ class MaskedGraphLayerNorm(nn.Module):
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
         m = mask.astype(x.dtype)[:, None]
-        cnt = _preduce(jax.ops.segment_sum(
-            jnp.full(x.shape[:1], float(features)) * m[:, 0], graph_ids,
-            num_segments=num_graphs, indices_are_sorted=True), axis_name)
+        cnt = _preduce(_seg_sum(
+            jnp.full(x.shape[:1], float(features)) * m[:, 0],
+            graph_ids, num_graphs), axis_name)
         cnt = jnp.maximum(cnt, 1.0)
-        s = _preduce(jax.ops.segment_sum(
-            (x * m).sum(-1), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name)
+        s = _preduce(_seg_sum(
+            (x * m).sum(-1), graph_ids, num_graphs), axis_name)
         mean = (s / cnt)[graph_ids][:, None]
         xc = (x - mean) * m
-        sq = _preduce(jax.ops.segment_sum(
-            (xc ** 2).sum(-1), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name)
+        sq = _preduce(_seg_sum((xc ** 2).sum(-1), graph_ids, num_graphs), axis_name)
         var = (sq / cnt)[graph_ids][:, None]
         y = xc * jax.lax.rsqrt(var + self.eps)
         y = y * self.param("scale", nn.initializers.ones, (features,))
@@ -140,17 +139,11 @@ class MaskedInstanceNorm(nn.Module):
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
         m = mask.astype(x.dtype)[:, None]
-        cnt = _preduce(jax.ops.segment_sum(
-            m, graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name)
+        cnt = _preduce(_seg_sum(m, graph_ids, num_graphs), axis_name)
         cnt = jnp.maximum(cnt, 1.0)
-        mean = _preduce(jax.ops.segment_sum(
-            x * m, graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name) / cnt
+        mean = _preduce(_seg_sum(x * m, graph_ids, num_graphs), axis_name) / cnt
         xc = (x - mean[graph_ids]) * m
-        var = _preduce(jax.ops.segment_sum(
-            xc ** 2, graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name) / cnt
+        var = _preduce(_seg_sum(xc ** 2, graph_ids, num_graphs), axis_name) / cnt
         y = xc * jax.lax.rsqrt(var[graph_ids] + self.eps)
         if self.affine:
             y = y * self.param("scale", nn.initializers.ones, (features,))
@@ -167,9 +160,7 @@ class GraphSizeNorm(nn.Module):
                  axis_name: Optional[str] = None):
         if mask is None:
             mask = jnp.ones(x.shape[:-1], dtype=bool)
-        cnt = _preduce(jax.ops.segment_sum(
-            mask.astype(x.dtype), graph_ids, num_segments=num_graphs,
-            indices_are_sorted=True), axis_name)
+        cnt = _preduce(_seg_sum(mask.astype(x.dtype), graph_ids, num_graphs), axis_name)
         inv = jax.lax.rsqrt(jnp.maximum(cnt, 1.0))
         return x * inv[graph_ids][:, None]
 

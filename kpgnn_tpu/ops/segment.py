@@ -19,7 +19,32 @@ import jax
 import jax.numpy as jnp
 
 
+# graph-level reductions (pooling, per-graph norm stats, virtual-node
+# updates) have few segments; a one-hot contraction runs them on the MXU
+# instead of XLA's scatter loop (measured 286 us -> MXU-trivial for the
+# n=8192 polymer readout), and its transpose (the backward gather) rides
+# the MXU too.  Scatter stays for large segment counts (edge->node).
+_ONEHOT_SEGMENTS_MAX = 1024
+
+
+def _onehot_segment_sum(data, segment_ids, num_segments: int):
+    flat = data.reshape(data.shape[0], -1)
+    oh = (segment_ids[:, None] ==
+          jnp.arange(num_segments, dtype=segment_ids.dtype))
+    out = jax.lax.dot_general(
+        oh.astype(flat.dtype), flat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        # exact: one-hot entries are 0/1, and HIGHEST keeps f32 inputs
+        # from the MXU's default bf16 rounding
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out.astype(data.dtype).reshape((num_segments,) + data.shape[1:])
+
+
 def segment_sum(data, segment_ids, num_segments: int, sorted: bool = True):
+    if (num_segments <= _ONEHOT_SEGMENTS_MAX
+            and jnp.issubdtype(jnp.result_type(data), jnp.floating)):
+        return _onehot_segment_sum(data, segment_ids, num_segments)
     return jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=sorted,
@@ -35,15 +60,15 @@ def segment_mean(data, segment_ids, num_segments: int, weights=None,
         while w.ndim < data.ndim:
             w = w[..., None]
         data = data * w
-        counts = jax.ops.segment_sum(
+        counts = segment_sum(
             jnp.broadcast_to(w, data.shape), segment_ids,
-            num_segments=num_segments, indices_are_sorted=sorted)
+            num_segments=num_segments, sorted=sorted)
     else:
-        counts = jax.ops.segment_sum(
+        counts = segment_sum(
             jnp.ones_like(data), segment_ids,
-            num_segments=num_segments, indices_are_sorted=sorted)
-    total = jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=sorted)
+            num_segments=num_segments, sorted=sorted)
+    total = segment_sum(
+        data, segment_ids, num_segments=num_segments, sorted=sorted)
     return total / jnp.maximum(counts, 1.0)
 
 

@@ -268,13 +268,18 @@ def extract_khop(
         per_e = np.stack(pe_list, axis=1).astype(np.int32)   # (N, K, T, 2)
         per_c = np.stack(pc_list, axis=1).astype(np.int32)   # (N, K, H+1)
 
+    union_ei = np.stack([u, v]).astype(np.int32)
     return Graph(
         num_nodes=num_nodes,
-        edge_index=np.stack([u, v]).astype(np.int32),
+        edge_index=union_ei,
         edge_attr=new_edge_attr,
         x=x, y=y, pe_attr=pe_attr,
         peripheral_edge_attr=per_e, peripheral_config_attr=per_c,
-        rd=resistance_distance(num_nodes, edge_index) if cfg.use_rd else None,
+        # rd is computed on the K-hop UNION edge set, not the raw graph:
+        # the reference applies resistance_distance AFTER
+        # extract_multi_hop_neighbors in its pre_transform Compose
+        # (reference: train_qm9.py:241, data_utils.py:280-303)
+        rd=resistance_distance(num_nodes, union_ei) if cfg.use_rd else None,
         **extra,
     )
 
