@@ -149,9 +149,11 @@ def khop_aggregate_adj(
         return sharded_khop_aggregate(adj, x, t1, tk, scale=scale,
                                       sender_scale=sender_scale, aggr=aggr)
     if isinstance(adj, KHopPallasPlan):
-        return khop_spmm(x.astype(jnp.float32), table1, tablek, adj,
+        # khop_spmm handles dtype itself (bf16 models keep the kernel-
+        # boundary relayouts in bf16; f32 stays f32 end to end)
+        return khop_spmm(x, table1, tablek, adj,
                          scale=scale, sender_scale=sender_scale,
-                         aggr=aggr).astype(x.dtype)
+                         aggr=aggr)
 
     table1 = _zero_row0(table1).astype(x.dtype)
     tablek = (_zero_row0(tablek).astype(x.dtype)

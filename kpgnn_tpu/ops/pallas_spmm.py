@@ -136,7 +136,7 @@ def _buf_rows(max_chunks: int) -> int:
     return max(8, ((max_chunks + 7) // 8) * 8)
 
 
-def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
+def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
             egroup, x_resident,
             indptr_ref, wlo_ref, wblk_ref,
             senders2d_hbm, x_hbm, starts_ref, ends_ref, out_ref,
@@ -146,21 +146,35 @@ def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
     # the same body under a static python loop with pl.when predication
     # runs orders of magnitude faster.  So every loop below has a static
     # bound and empty iterations are predicated off.
+    #
+    # Grid step t = tile * n_passes + pass: pass p contracts window
+    # blocks [p*wcap, (p+1)*wcap) and accumulates into the tile's output
+    # block (consecutive steps share it, so it stays in VMEM).  The
+    # window scratch is sized by `wcap`, not the widest tile — a hub
+    # tile whose sender span would blow the VMEM budget runs as several
+    # passes instead of falling back to XLA scatter.  n_passes == 1 (the
+    # common case) is exactly the old single-pass kernel; matmul work
+    # never duplicates across passes (each pass only touches its own
+    # blocks), only the tile's sender-chunk copies do.
     if x_resident:
         sbuf, ssem = scratch
         xbuf = xsem = None
     else:
         sbuf, xbuf, ssem, xsem = scratch
-    i = pl.program_id(0)
+    t_step = pl.program_id(0)
     nt = pl.num_programs(0)
+    i = t_step // n_passes if n_passes > 1 else t_step
+    p = jax.lax.rem(t_step, n_passes) if n_passes > 1 else 0
     buf = sbuf.shape[0] // 2           # sender rows per slot
     n_sb = buf // 8                    # 8-row sender sub-copies per slot
     xrows = 0 if x_resident else xbuf.shape[0] // 2  # window rows per slot
 
     def tile_dmas(slot, t):
-        """The (copy, live-predicate) list for tile t into buffer slot
+        """The (copy, live-predicate) list for step t into buffer slot
         `slot` — reconstructed identically at start and wait time."""
-        r0 = t * tile_r
+        ti = t // n_passes if n_passes > 1 else t
+        tp = jax.lax.rem(t, n_passes) if n_passes > 1 else 0
+        r0 = ti * tile_r
         e_lo = indptr_ref[r0]
         chunks = (indptr_ref[r0 + tile_r] - e_lo) // tile_e
         nsb = (chunks + 7) // 8
@@ -172,15 +186,16 @@ def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
                     ssem.at[slot, sb]), sb < nsb)
                 for sb in range(n_sb)]
         if not x_resident:
-            # node table in HBM: copy this tile's window blocks too
-            w_lo = pl.multiple_of(wlo_ref[t], 128)
-            nb = wblk_ref[t]
+            # node table in HBM: copy this pass's window blocks too
+            w_lo = pl.multiple_of(wlo_ref[ti], 128)
+            nb = wblk_ref[ti]
             x_off = slot * xrows
             dmas += [(pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(w_lo + b * wblock, wblock), :],
+                        x_hbm.at[pl.ds(w_lo + (tp * wcap + b) * wblock,
+                                       wblock), :],
                         xbuf.at[pl.ds(x_off + b * wblock, wblock), :],
-                        xsem.at[slot, b]), b < nb)
-                     for b in range(max_wblocks)]
+                        xsem.at[slot, b]), tp * wcap + b < nb)
+                     for b in range(wcap)]
         return dmas
 
     def start_tile(slot, t):
@@ -191,20 +206,20 @@ def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
         for dma, live in tile_dmas(slot, t):
             pl.when(live)(dma.wait)
 
-    slot = jax.lax.rem(i, 2)
+    slot = jax.lax.rem(t_step, 2)
 
-    # double-buffer: tile i+1's sender chunks and x window start copying
-    # before tile i's matmuls run, so every step's DMA latency hides
-    # behind the previous step's compute (except the warm-up tile)
-    @pl.when(i == 0)
+    # double-buffer: step t+1's sender chunks and x window start copying
+    # before step t's matmuls run, so every step's DMA latency hides
+    # behind the previous step's compute (except the warm-up step)
+    @pl.when(t_step == 0)
     def _():
         start_tile(0, 0)
 
-    @pl.when(i + 1 < nt)
+    @pl.when(t_step + 1 < nt)
     def _():
-        start_tile(jax.lax.rem(i + 1, 2), i + 1)
+        start_tile(jax.lax.rem(t_step + 1, 2), t_step + 1)
 
-    wait_tile(slot, i)
+    wait_tile(slot, t_step)
 
     r0 = i * tile_r
     e_lo = indptr_ref[r0]              # multiple of tile_e by construction
@@ -216,14 +231,19 @@ def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
     starts_col = starts_ref[...]                              # (tile_r, 1)
     ends_col = ends_ref[...]                                  # (tile_r, 1)
 
-    def x_block(b):
+    def x_block(b, bg):
         # resident: slice the VMEM node table at the tile's window; DMA'd:
-        # read the prefetched copy (block b sits at x_off + b*wblock)
+        # read the prefetched copy (pass block b sits at x_off + b*wblock)
         if x_resident:
-            return x_hbm[pl.ds(w_lo + b * wblock, wblock), :]
+            return x_hbm[pl.ds(w_lo + bg * wblock, wblock), :]
         return xbuf[pl.ds(x_off + b * wblock, wblock), :]
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    if n_passes > 1:
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+    else:
+        out_ref[...] = jnp.zeros_like(out_ref)
 
     ge = egroup * tile_e               # edges per matmul pair
     for c in range(max_chunks // egroup):
@@ -251,11 +271,13 @@ def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
             # Mosaic keeps the intermediates in vregs and pipelines the
             # two matmuls per block — routing the sender gather through
             # a VMEM accumulator measured ~20% slower
-            for b in range(max_wblocks):
-                @pl.when(b < nb)
-                def _(b=b):
-                    xb = x_block(b)
-                    cc = codes_col - b * wblock
+            for b in range(wcap):
+                bg = p * wcap + b if n_passes > 1 else b
+
+                @pl.when(bg < nb)
+                def _(b=b, bg=bg):
+                    xb = x_block(b, bg)
+                    cc = codes_col - bg * wblock
                     s_oh = (cc == jax.lax.broadcasted_iota(
                         jnp.int32, (ge, wblock), 1)
                             ).astype(xb.dtype)   # exact in bf16 (0/1)
@@ -319,47 +341,62 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     # window DMA at all — the hot path for molecule-scale batches);
     # otherwise it stays in HBM and per-tile windows are double-buffered
     x_resident = (n + csr.wblock) * D * xbytes <= VMEM_X_RESIDENT_LIMIT
+    sender_bytes = 2 * buf * tile_e * 4
+    # window blocks per pass: as many as fit the scratch budget next to
+    # the sender chunks.  A tile whose sender span exceeds that (a hub)
+    # runs as ceil(max_wblocks / wcap) accumulation passes over the same
+    # output block instead of falling back to XLA scatter.
+    wcap, n_passes = csr.max_wblocks, 1
+    if not x_resident:
+        wblock_bytes = 2 * csr.wblock * D * xbytes
+        fit = max((VMEM_SCRATCH_LIMIT - sender_bytes) // wblock_bytes, 0)
+        wcap = max(1, min(csr.max_wblocks, int(fit)))
+        n_passes = -(-csr.max_wblocks // wcap)
     scratch_shapes = [pltpu.VMEM((2 * buf, tile_e), jnp.int32)]
     if not x_resident:
         scratch_shapes.append(
-            pltpu.VMEM((2 * csr.max_wblocks * csr.wblock, D), x.dtype))
+            pltpu.VMEM((2 * wcap * csr.wblock, D), x.dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2, buf // 8)))
     if not x_resident:
-        scratch_shapes.append(
-            pltpu.SemaphoreType.DMA((2, csr.max_wblocks)))
-    scratch_bytes = (2 * buf * tile_e * 4
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, wcap)))
+    scratch_bytes = (sender_bytes
                      + (0 if x_resident
-                        else 2 * csr.max_wblocks * csr.wblock * D * xbytes))
+                        else 2 * wcap * csr.wblock * D * xbytes))
     if scratch_bytes > VMEM_SCRATCH_LIMIT:
-        # a single hub tile (huge edge segment or sender span) can blow
-        # the double-buffered scratch budget; rather than fail the whole
-        # train step, run this aggregation through the bit-compatible
-        # XLA gather/segment-sum path and tell the user why it is slow.
-        # (Fires at trace time — once per compiled shape, not per step.)
+        # even one window block next to the sender chunks does not fit:
+        # a single tile carries a monster edge segment (~1M+ edges).
+        # Rather than fail the whole train step, run this aggregation
+        # through the bit-compatible XLA gather/segment-sum path and
+        # tell the user why it is slow.  (Fires at trace time — once per
+        # compiled shape, not per step.)
         warnings.warn(
             f"pallas plan scratch {scratch_bytes/2**20:.1f} MiB exceeds "
             f"{VMEM_SCRATCH_LIMIT/2**20:.0f} MiB (max_chunks="
-            f"{csr.max_chunks}, max_wblocks={csr.max_wblocks}, "
-            f"wblock={csr.wblock}, D={D}): one receiver tile has a huge "
-            "edge segment or sender span — falling back to the XLA "
-            "segment-sum path for this aggregation.  Reorder nodes "
-            "(BFS/RCM) to shrink spans, raise wblock, or use the COO "
-            "backend to avoid the fallback.", stacklevel=2)
+            f"{csr.max_chunks}, wblock={csr.wblock}, D={D}): one "
+            "receiver tile has a huge edge segment — falling back to "
+            "the XLA segment-sum path for this aggregation.  Use a "
+            "smaller tile_r or the COO backend to avoid the fallback.",
+            stacklevel=2)
         return _gather_reference(x_orig, csr)
 
+    np_ = n_passes
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n // tile_r,),
+        grid=(n // tile_r * n_passes,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # senders2d
             pl.BlockSpec(memory_space=(pltpu.VMEM if x_resident
                                        else pl.ANY)),        # node table
-            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row starts
-            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row ends
+            pl.BlockSpec((tile_r, 1),
+                         lambda t, *_: (t // np_, 0)),        # row starts
+            pl.BlockSpec((tile_r, 1),
+                         lambda t, *_: (t // np_, 0)),        # row ends
         ],
-        out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
+        # n_passes consecutive steps map to the same output block, so it
+        # stays in VMEM while a hub tile's passes accumulate into it
+        out_specs=pl.BlockSpec((tile_r, D), lambda t, *_: (t // np_, 0)),
         # two slots each (double buffering): sender-id chunks and (HBM
-        # mode) the node-table window; rank-2 with slot row offsets
+        # mode) the per-pass window; rank-2 with slot row offsets
         # (dynamic leading-index rank-3 addressing is shakier in Mosaic)
         scratch_shapes=scratch_shapes,
     )
@@ -369,7 +406,7 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     out_shape = (jax.ShapeDtypeStruct((n, D), jnp.float32, vma=vma)
                  if vma else jax.ShapeDtypeStruct((n, D), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_kernel, csr.max_chunks, csr.max_wblocks,
+        functools.partial(_kernel, csr.max_chunks, wcap, n_passes,
                           csr.wblock, precision, tile_r, tile_e,
                           csr.egroup, x_resident),
         grid_spec=grid_spec,
@@ -660,12 +697,17 @@ def _float0_like(csr: HopCSR) -> HopCSR:
 
 
 def _gs_fwd(x, csr_fwd, csr_bwd):
-    return gather_segment_sum(x, csr_fwd), (csr_fwd, csr_bwd)
+    # the empty residual only carries the primal dtype (a bare dtype is
+    # not a valid JAX residual type)
+    return gather_segment_sum(x, csr_fwd), (csr_fwd, csr_bwd,
+                                            jnp.zeros((0,), x.dtype))
 
 
 def _gs_bwd(res, g):
-    csr_fwd, csr_bwd = res
-    dx = gather_segment_sum(g, csr_bwd)
+    csr_fwd, csr_bwd, like = res
+    # cotangent dtype must match the primal's (bf16 models feed the
+    # kernel bf16 tables while the kernel always accumulates f32)
+    dx = gather_segment_sum(g, csr_bwd).astype(like.dtype)
     return dx, _float0_like(csr_fwd), _float0_like(csr_bwd)
 
 
@@ -715,10 +757,25 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     cn, K, D = x.shape          # sender-table nodes (== N for square)
     n = plan.counts1.shape[0]   # receiver (output) nodes
     assert K * cn == plan.fwd.n_cols, (x.shape, plan.fwd.n_cols)
+    out_dtype = x.dtype
     if sender_scale is not None:
-        x = x * sender_scale[..., None]
+        x = x * sender_scale[..., None].astype(x.dtype)
+    # the kernel stores its table in bf16 anyway (MXU DEFAULT-precision
+    # rounding); casting BEFORE the hop-major transpose halves the
+    # relayout traffic, which the large-graph step trace showed as one
+    # of the biggest non-kernel costs.  CPU interpret keeps f32 so tests
+    # compare exactly against f32 oracles.
+    if (jax.default_backend() != "cpu"
+            and precision in (jax.lax.Precision.DEFAULT, None)):
+        x = x.astype(jnp.bfloat16)
+    else:
+        x = x.astype(jnp.float32)
     xs = jnp.transpose(x, (1, 0, 2)).reshape(K * cn, D)
     outf = _gather_segment(xs, plan.fwd, plan.bwd)
+    if out_dtype == jnp.bfloat16:
+        # bf16 models cast the result right back down; do it before the
+        # un-transpose so that relayout moves half the bytes too
+        outf = outf.astype(jnp.bfloat16)
     out = jnp.transpose(outf.reshape(K, n, D), (1, 0, 2))      # (N, K, D)
     t1 = table1.at[0].set(0.0)
     hi = jax.lax.Precision.HIGHEST     # counts are exact integers; keep f32
@@ -745,11 +802,12 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
                 parts.append(jnp.matmul(hists[k, :, :tk.shape[0]], tk,
                                         precision=hi)[:, None])
         emb_all = jnp.concatenate(parts, axis=1)
-    out = out + emb_all
+    out = out + emb_all.astype(out.dtype)
     if scale is not None:
-        out = out * scale[..., None]
+        out = out * scale[..., None].astype(out.dtype)
     if aggr == "mean":
-        out = out / jnp.maximum(plan.union_deg, 1.0)[:, None, None]
+        out = out / jnp.maximum(plan.union_deg, 1.0)[:, None, None].astype(
+            out.dtype)
     elif aggr != "add":
         raise ValueError(f"pallas backend does not support aggr={aggr!r}")
-    return out
+    return out.astype(out_dtype)

@@ -72,6 +72,40 @@ def test_heavy_row():
     assert np.allclose(np.asarray(out), expect, atol=1e-3)
 
 
+def test_hub_tile_multi_pass(monkeypatch):
+    """A hub receiver whose sender span would blow the VMEM scratch
+    budget must stay on the kernel as several window passes over the
+    same output block — NOT fall back to XLA scatter.  Shrunken VMEM
+    limits force the multi-pass path at test scale."""
+    rng = np.random.default_rng(7)
+    n, D = 1024, 16
+    # hub node 3 receives from everywhere (span = whole table); the rest
+    # is sparse local structure
+    hub_e = 3000
+    senders = np.concatenate([
+        rng.integers(0, n - 1, hub_e),
+        rng.integers(0, n - 1, 800)]).astype(np.int32)
+    receivers = np.concatenate([
+        np.full(hub_e, 3), rng.integers(0, n, 800)]).astype(np.int32)
+    csr = _build_one(receivers, senders, n, 128, wblock=128)
+    assert csr.max_wblocks >= 8
+    # force the HBM-window path and a tiny per-pass budget
+    monkeypatch.setattr(ps, "VMEM_X_RESIDENT_LIMIT", 0)
+    monkeypatch.setattr(
+        ps, "VMEM_SCRATCH_LIMIT",
+        2 * ps._buf_rows(csr.max_chunks) * 128 * 4
+        + 2 * 3 * 128 * 128 * 4)   # 3 window blocks/pass at 128 lanes
+    x = rng.normal(size=(n, D)).astype(np.float32)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # the scatter fallback would warn
+        out = gather_segment_sum(jnp.asarray(x), csr, interpret=True)
+    expect = np.zeros((n, D), np.float32)
+    np.add.at(expect, receivers, x[senders])
+    assert np.allclose(np.asarray(out), expect, atol=1e-3), \
+        np.abs(np.asarray(out) - expect).max()
+
+
 def test_khop_spmm_matches_oracle():
     senders, receivers, attr, x, t1, tk = case()
     n = x.shape[0]
@@ -80,6 +114,27 @@ def test_khop_spmm_matches_oracle():
     expect = oracle(senders, receivers, attr, x, t1, tk, n)
     assert np.allclose(np.asarray(out), expect, atol=1e-4), \
         np.abs(np.asarray(out) - expect).max()
+
+
+def test_khop_spmm_bf16_in_out():
+    """bf16 activations stay bf16 through the plan backend (the kernel
+    boundary relayouts run at half traffic) and gradients keep the
+    primal dtype."""
+    senders, receivers, attr, x, t1, tk = case()
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0], tk.shape[0])
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out = khop_spmm(xb, jnp.asarray(t1), jnp.asarray(tk), plan)
+    assert out.dtype == jnp.bfloat16
+    expect = oracle(senders, receivers, attr, x, t1, tk, n)
+    scale = max(np.abs(expect).max(), 1.0)
+    assert np.allclose(np.asarray(out, np.float32), expect,
+                       atol=0.03 * scale)
+    g = jax.grad(lambda v: jnp.sum(
+        khop_spmm(v, jnp.asarray(t1), jnp.asarray(tk), plan)
+        .astype(jnp.float32)))(xb)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
 def test_multi_window_blocks():
