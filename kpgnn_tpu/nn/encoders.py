@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .basic import TorchLinear
@@ -34,14 +36,23 @@ class FeatureConcatEncoder(nn.Module):
     peripheral edge / configuration embeddings
     (reference: models/GNNs.py:92-97).
 
+    Computed in FOLDED form: proj(concat_i(T_i[x_i])) is algebraically
+    sum_i one_hot(x_i) @ (T_i @ P_i) + bias, where P_i is the i-th
+    H-row slice of the projection kernel.  The per-column products
+    T_i @ P_i are tiny (dim x H @ H x H); folding removes the
+    (..., C*H) concat intermediate and the C*H-wide projection matmul
+    entirely — on the flagship step the configuration encoder's
+    (N, K, 728) concat and its 728->104 projection were ~3 GFLOP of the
+    26 GFLOP step.  Parameters and their tree layout are unchanged
+    (emb{i}/embedding + proj/kernel + proj/bias), so checkpoints and the
+    cross-framework parity mapping are unaffected; the math is
+    identical (autodiff differentiates through the folded products).
+
     `sum_axis` (an axis of x[..., i], i.e. of x without its last dim)
-    computes `encoder(x).sum(axis=sum_axis)` without materializing the
-    per-element embeddings: the sum commutes through the linear
-    stack, so each column's contribution is histogram(x_i) @ table_i
-    and the projection bias is scaled by the summed length.  On the
-    flagship TPU step this removes the (N*K*T, H)-shaped intermediates
-    AND their backward scatters (the encoder output is summed over the
-    per-hop component axis at models/GNNs.py:172-179 in the reference).
+    additionally folds `encoder(x).sum(axis=sum_axis)` into the same
+    histogram contraction, with the projection bias scaled by the
+    summed length (the reference sums the encoder output over the
+    per-hop component axis at models/GNNs.py:172-179).
     """
 
     feature_dims: Sequence[int]
@@ -51,32 +62,39 @@ class FeatureConcatEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  sum_axis: Optional[int] = None) -> jnp.ndarray:
+        H = self.hidden_size
+        dims = list(self.feature_dims)
         # sum_axis indexes into x[..., i] (x minus its trailing column
         # axis); normalize it before the one-hot appends a value axis
         if sum_axis is not None and sum_axis < 0:
             sum_axis += x.ndim - 1
-        embs = []
-        for i, dim in enumerate(self.feature_dims):
-            emb = PaddedEmbed(dim, self.hidden_size,
-                              padding_idx=0 if self.padding else None,
-                              name=f"emb{i}")
-            if sum_axis is None:
-                embs.append(emb(x[..., i]))
-            else:
-                ids = x[..., i]
-                counts = jnp.sum(
-                    (ids[..., None] == jnp.arange(dim, dtype=ids.dtype))
-                    .astype(jnp.float32), axis=sum_axis)   # (..., dim)
-                embs.append(emb(counts, counts=True))
-        out = TorchLinear(self.hidden_size, name="proj")(
-            jnp.concatenate(embs, axis=-1))
-        if sum_axis is not None:
-            # proj ran after the sum: its bias entered once instead of
-            # once per summed element
-            t = x.shape[sum_axis]
-            bias = self.get_variable("params", "proj")["bias"]
-            out = out + (t - 1) * bias.astype(out.dtype)
-        return out
+        # instantiate the identical parameter tree; the dummy calls only
+        # create params (their outputs are dead code XLA removes)
+        for i, dim in enumerate(dims):
+            PaddedEmbed(dim, H, padding_idx=0 if self.padding else None,
+                        name=f"emb{i}")(jnp.zeros((1,), jnp.int32))
+        TorchLinear(H, name="proj")(jnp.zeros((1, len(dims) * H)))
+        kernel = self.get_variable("params", "proj")["kernel"]
+        bias = self.get_variable("params", "proj")["bias"]
+        folded = []
+        for i, dim in enumerate(dims):
+            t = self.get_variable("params", f"emb{i}")["embedding"]
+            if self.padding:
+                t = t * (jnp.arange(dim) != 0).astype(t.dtype)[:, None]
+            folded.append(t @ kernel[i * H:(i + 1) * H])
+        table = jnp.concatenate(folded, axis=0)      # (sum dims, H)
+        offs = np.cumsum([0] + dims[:-1])
+        ids = x + jnp.asarray(offs, dtype=x.dtype)   # (..., C) global ids
+        V = int(sum(dims))
+        oh = (ids[..., None] == jnp.arange(V, dtype=ids.dtype)
+              ).astype(jnp.float32)                  # (..., C, V)
+        axes = ((-2,) if sum_axis is None
+                else (sum_axis, x.ndim - 1))
+        counts = jnp.sum(oh, axis=axes)              # (..., V)
+        out = jnp.einsum("...v,vd->...d", counts, table,
+                         precision=jax.lax.Precision.HIGHEST)
+        n_bias = 1 if sum_axis is None else x.shape[sum_axis]
+        return out + n_bias * bias.astype(out.dtype)
 
 
 class EmbeddingEncoder(nn.Module):

@@ -49,6 +49,7 @@ scatter-add inside PyG MessagePassing).
 from __future__ import annotations
 
 import functools
+import os
 import warnings
 from typing import List, Optional, Tuple
 
@@ -72,6 +73,16 @@ EGROUP = 4            # chunks fused per matmul pair
 VMEM_SCRATCH_LIMIT = 10 * 1024 * 1024
 # node tables at most this big stay fully VMEM-resident (no window DMA)
 VMEM_X_RESIDENT_LIMIT = 9 * 1024 * 1024
+# degree-skew (hub) caps: a tile may keep at most SPILL_CHUNK_ROWS
+# 128-edge sender chunks and SPILL_WBLOCKS window sub-blocks on the
+# kernel path; edges beyond either cap spill to a COO side list that
+# gather_segment_sum adds with one XLA segment-sum.  Normal graph-sorted
+# batches sit far below both caps (typ. <= 32 chunks, <= 3 blocks); the
+# caps bound BOTH the VMEM scratch and the kernel's unrolled body count
+# ((chunks/egroup) * wblocks predicated matmul pairs — a 10k-in-edge hub
+# without caps compiled to ~1.5k bodies and minutes of Mosaic time).
+SPILL_CHUNK_ROWS = int(os.environ.get("KPGNN_SPILL_CHUNK_ROWS", "64"))
+SPILL_WBLOCKS = int(os.environ.get("KPGNN_SPILL_WBLOCKS", "8"))
 
 
 @struct.dataclass
@@ -118,6 +129,15 @@ class HopCSR:
     # slice_hops cut the flat arrays with static shapes
     hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
                                              default=())
+    # degree-skew spill: edges a hub tile could not keep on the kernel
+    # path (beyond SPILL_CHUNK_ROWS chunks or SPILL_WBLOCKS window
+    # blocks) as a plain COO list; gather_segment_sum adds them with one
+    # XLA segment-sum.  None for the (typical) spill-free plan.  Row-
+    # sorted, so slice_hops can cut a static prefix via spill_hop_ends.
+    spill_senders: Optional[jnp.ndarray] = None    # (S,) int32
+    spill_rows: Optional[jnp.ndarray] = None       # (S,) int32
+    spill_hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                   default=())
 
     @property
     def n_rows(self) -> int:
@@ -136,7 +156,7 @@ def _buf_rows(max_chunks: int) -> int:
     return max(8, ((max_chunks + 7) // 8) * 8)
 
 
-def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
+def _kernel(max_chunks, max_wblocks, wblock, precision, tile_r, tile_e,
             egroup, x_resident,
             indptr_ref, wlo_ref, wblk_ref,
             senders2d_hbm, x_hbm, starts_ref, ends_ref, out_ref,
@@ -146,35 +166,21 @@ def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
     # the same body under a static python loop with pl.when predication
     # runs orders of magnitude faster.  So every loop below has a static
     # bound and empty iterations are predicated off.
-    #
-    # Grid step t = tile * n_passes + pass: pass p contracts window
-    # blocks [p*wcap, (p+1)*wcap) and accumulates into the tile's output
-    # block (consecutive steps share it, so it stays in VMEM).  The
-    # window scratch is sized by `wcap`, not the widest tile — a hub
-    # tile whose sender span would blow the VMEM budget runs as several
-    # passes instead of falling back to XLA scatter.  n_passes == 1 (the
-    # common case) is exactly the old single-pass kernel; matmul work
-    # never duplicates across passes (each pass only touches its own
-    # blocks), only the tile's sender-chunk copies do.
     if x_resident:
         sbuf, ssem = scratch
         xbuf = xsem = None
     else:
         sbuf, xbuf, ssem, xsem = scratch
-    t_step = pl.program_id(0)
+    i = pl.program_id(0)
     nt = pl.num_programs(0)
-    i = t_step // n_passes if n_passes > 1 else t_step
-    p = jax.lax.rem(t_step, n_passes) if n_passes > 1 else 0
     buf = sbuf.shape[0] // 2           # sender rows per slot
     n_sb = buf // 8                    # 8-row sender sub-copies per slot
     xrows = 0 if x_resident else xbuf.shape[0] // 2  # window rows per slot
 
     def tile_dmas(slot, t):
-        """The (copy, live-predicate) list for step t into buffer slot
+        """The (copy, live-predicate) list for tile t into buffer slot
         `slot` — reconstructed identically at start and wait time."""
-        ti = t // n_passes if n_passes > 1 else t
-        tp = jax.lax.rem(t, n_passes) if n_passes > 1 else 0
-        r0 = ti * tile_r
+        r0 = t * tile_r
         e_lo = indptr_ref[r0]
         chunks = (indptr_ref[r0 + tile_r] - e_lo) // tile_e
         nsb = (chunks + 7) // 8
@@ -186,16 +192,15 @@ def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
                     ssem.at[slot, sb]), sb < nsb)
                 for sb in range(n_sb)]
         if not x_resident:
-            # node table in HBM: copy this pass's window blocks too
-            w_lo = pl.multiple_of(wlo_ref[ti], 128)
-            nb = wblk_ref[ti]
+            # node table in HBM: copy this tile's window blocks too
+            w_lo = pl.multiple_of(wlo_ref[t], 128)
+            nb = wblk_ref[t]
             x_off = slot * xrows
             dmas += [(pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(w_lo + (tp * wcap + b) * wblock,
-                                       wblock), :],
+                        x_hbm.at[pl.ds(w_lo + b * wblock, wblock), :],
                         xbuf.at[pl.ds(x_off + b * wblock, wblock), :],
-                        xsem.at[slot, b]), tp * wcap + b < nb)
-                     for b in range(wcap)]
+                        xsem.at[slot, b]), b < nb)
+                     for b in range(max_wblocks)]
         return dmas
 
     def start_tile(slot, t):
@@ -206,20 +211,20 @@ def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
         for dma, live in tile_dmas(slot, t):
             pl.when(live)(dma.wait)
 
-    slot = jax.lax.rem(t_step, 2)
+    slot = jax.lax.rem(i, 2)
 
-    # double-buffer: step t+1's sender chunks and x window start copying
-    # before step t's matmuls run, so every step's DMA latency hides
-    # behind the previous step's compute (except the warm-up step)
-    @pl.when(t_step == 0)
+    # double-buffer: tile i+1's sender chunks and x window start copying
+    # before tile i's matmuls run, so every step's DMA latency hides
+    # behind the previous step's compute (except the warm-up tile)
+    @pl.when(i == 0)
     def _():
         start_tile(0, 0)
 
-    @pl.when(t_step + 1 < nt)
+    @pl.when(i + 1 < nt)
     def _():
-        start_tile(jax.lax.rem(t_step + 1, 2), t_step + 1)
+        start_tile(jax.lax.rem(i + 1, 2), i + 1)
 
-    wait_tile(slot, t_step)
+    wait_tile(slot, i)
 
     r0 = i * tile_r
     e_lo = indptr_ref[r0]              # multiple of tile_e by construction
@@ -231,19 +236,14 @@ def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
     starts_col = starts_ref[...]                              # (tile_r, 1)
     ends_col = ends_ref[...]                                  # (tile_r, 1)
 
-    def x_block(b, bg):
+    def x_block(b):
         # resident: slice the VMEM node table at the tile's window; DMA'd:
-        # read the prefetched copy (pass block b sits at x_off + b*wblock)
+        # read the prefetched copy (block b sits at x_off + b*wblock)
         if x_resident:
-            return x_hbm[pl.ds(w_lo + bg * wblock, wblock), :]
+            return x_hbm[pl.ds(w_lo + b * wblock, wblock), :]
         return xbuf[pl.ds(x_off + b * wblock, wblock), :]
 
-    if n_passes > 1:
-        @pl.when(p == 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
-    else:
-        out_ref[...] = jnp.zeros_like(out_ref)
+    out_ref[...] = jnp.zeros_like(out_ref)
 
     ge = egroup * tile_e               # edges per matmul pair
     for c in range(max_chunks // egroup):
@@ -271,13 +271,11 @@ def _kernel(max_chunks, wcap, n_passes, wblock, precision, tile_r, tile_e,
             # Mosaic keeps the intermediates in vregs and pipelines the
             # two matmuls per block — routing the sender gather through
             # a VMEM accumulator measured ~20% slower
-            for b in range(wcap):
-                bg = p * wcap + b if n_passes > 1 else b
-
-                @pl.when(bg < nb)
-                def _(b=b, bg=bg):
-                    xb = x_block(b, bg)
-                    cc = codes_col - bg * wblock
+            for b in range(max_wblocks):
+                @pl.when(b < nb)
+                def _(b=b):
+                    xb = x_block(b)
+                    cc = codes_col - b * wblock
                     s_oh = (cc == jax.lax.broadcasted_iota(
                         jnp.int32, (ge, wblock), 1)
                             ).astype(xb.dtype)   # exact in bf16 (0/1)
@@ -341,62 +339,47 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     # window DMA at all — the hot path for molecule-scale batches);
     # otherwise it stays in HBM and per-tile windows are double-buffered
     x_resident = (n + csr.wblock) * D * xbytes <= VMEM_X_RESIDENT_LIMIT
-    sender_bytes = 2 * buf * tile_e * 4
-    # window blocks per pass: as many as fit the scratch budget next to
-    # the sender chunks.  A tile whose sender span exceeds that (a hub)
-    # runs as ceil(max_wblocks / wcap) accumulation passes over the same
-    # output block instead of falling back to XLA scatter.
-    wcap, n_passes = csr.max_wblocks, 1
-    if not x_resident:
-        wblock_bytes = 2 * csr.wblock * D * xbytes
-        fit = max((VMEM_SCRATCH_LIMIT - sender_bytes) // wblock_bytes, 0)
-        wcap = max(1, min(csr.max_wblocks, int(fit)))
-        n_passes = -(-csr.max_wblocks // wcap)
     scratch_shapes = [pltpu.VMEM((2 * buf, tile_e), jnp.int32)]
     if not x_resident:
         scratch_shapes.append(
-            pltpu.VMEM((2 * wcap * csr.wblock, D), x.dtype))
+            pltpu.VMEM((2 * csr.max_wblocks * csr.wblock, D), x.dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2, buf // 8)))
     if not x_resident:
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, wcap)))
-    scratch_bytes = (sender_bytes
+        scratch_shapes.append(
+            pltpu.SemaphoreType.DMA((2, csr.max_wblocks)))
+    scratch_bytes = (2 * buf * tile_e * 4
                      + (0 if x_resident
-                        else 2 * wcap * csr.wblock * D * xbytes))
+                        else 2 * csr.max_wblocks * csr.wblock * D * xbytes))
     if scratch_bytes > VMEM_SCRATCH_LIMIT:
-        # even one window block next to the sender chunks does not fit:
-        # a single tile carries a monster edge segment (~1M+ edges).
-        # Rather than fail the whole train step, run this aggregation
-        # through the bit-compatible XLA gather/segment-sum path and
-        # tell the user why it is slow.  (Fires at trace time — once per
-        # compiled shape, not per step.)
+        # a single hub tile (huge edge segment or sender span) can blow
+        # the double-buffered scratch budget; rather than fail the whole
+        # train step, run this aggregation through the bit-compatible
+        # XLA gather/segment-sum path and tell the user why it is slow.
+        # (Fires at trace time — once per compiled shape, not per step.)
         warnings.warn(
             f"pallas plan scratch {scratch_bytes/2**20:.1f} MiB exceeds "
             f"{VMEM_SCRATCH_LIMIT/2**20:.0f} MiB (max_chunks="
-            f"{csr.max_chunks}, wblock={csr.wblock}, D={D}): one "
-            "receiver tile has a huge edge segment — falling back to "
-            "the XLA segment-sum path for this aggregation.  Use a "
-            "smaller tile_r or the COO backend to avoid the fallback.",
-            stacklevel=2)
+            f"{csr.max_chunks}, max_wblocks={csr.max_wblocks}, "
+            f"wblock={csr.wblock}, D={D}): one receiver tile has a huge "
+            "edge segment or sender span — falling back to the XLA "
+            "segment-sum path for this aggregation.  Reorder nodes "
+            "(BFS/RCM) to shrink spans, raise wblock, or use the COO "
+            "backend to avoid the fallback.", stacklevel=2)
         return _gather_reference(x_orig, csr)
 
-    np_ = n_passes
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n // tile_r * n_passes,),
+        grid=(n // tile_r,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # senders2d
             pl.BlockSpec(memory_space=(pltpu.VMEM if x_resident
                                        else pl.ANY)),        # node table
-            pl.BlockSpec((tile_r, 1),
-                         lambda t, *_: (t // np_, 0)),        # row starts
-            pl.BlockSpec((tile_r, 1),
-                         lambda t, *_: (t // np_, 0)),        # row ends
+            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row starts
+            pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0)),  # row ends
         ],
-        # n_passes consecutive steps map to the same output block, so it
-        # stays in VMEM while a hub tile's passes accumulate into it
-        out_specs=pl.BlockSpec((tile_r, D), lambda t, *_: (t // np_, 0)),
+        out_specs=pl.BlockSpec((tile_r, D), lambda i, *_: (i, 0)),
         # two slots each (double buffering): sender-id chunks and (HBM
-        # mode) the per-pass window; rank-2 with slot row offsets
+        # mode) the node-table window; rank-2 with slot row offsets
         # (dynamic leading-index rank-3 addressing is shakier in Mosaic)
         scratch_shapes=scratch_shapes,
     )
@@ -406,7 +389,7 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
     out_shape = (jax.ShapeDtypeStruct((n, D), jnp.float32, vma=vma)
                  if vma else jax.ShapeDtypeStruct((n, D), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_kernel, csr.max_chunks, wcap, n_passes,
+        functools.partial(_kernel, csr.max_chunks, csr.max_wblocks,
                           csr.wblock, precision, tile_r, tile_e,
                           csr.egroup, x_resident),
         grid_spec=grid_spec,
@@ -414,7 +397,21 @@ def gather_segment_sum(x: jnp.ndarray, csr: HopCSR,
         interpret=interpret,
     )(csr.indptr, csr.win_lo, csr.win_blk, csr.senders2d, x,
       csr.row_starts, csr.row_ends)
+    out = _add_spill(out, x, csr)
     return out[:, :D_in] if D != D_in else out
+
+
+def _add_spill(out: jnp.ndarray, x: jnp.ndarray, csr: HopCSR
+               ) -> jnp.ndarray:
+    """Add the hub-spill edges (the few a skewed tile could not keep on
+    the kernel path) with one XLA gather + segment-sum.  `x` is the
+    (already padded/cast) node table; spill rows are receiver-sorted."""
+    if csr.spill_senders is None:
+        return out
+    gathered = x[csr.spill_senders].astype(out.dtype)
+    return out + jax.ops.segment_sum(
+        gathered, csr.spill_rows, num_segments=csr.n_rows,
+        indices_are_sorted=True)
 
 
 def _gather_reference(x: jnp.ndarray, csr: HopCSR) -> jnp.ndarray:
@@ -432,13 +429,14 @@ def _gather_reference(x: jnp.ndarray, csr: HopCSR) -> jnp.ndarray:
     idc = jnp.clip(ids, 0, n - 1)
     valid = ((eidx >= csr.row_starts.reshape(-1)[idc])
              & (eidx < ends[idc]) & (ids < n))
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         gathered * valid[:, None].astype(x.dtype), idc, num_segments=n)
+    return _add_spill(out, x, csr)
 
 
 def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
                tile_e=TILE_E, wblock=WBLOCK, egroup=1, aux=(),
-               n_cols=None) -> HopCSR:
+               n_cols=None, hop_rows=0) -> HopCSR:
     """Receiver-sorted CSR whose per-row-tile edge segments are padded to
     TILE_E multiples with null edges (sender = n_cols, pointing into the
     kernel's zero overhang rows so they contribute nothing).
@@ -446,7 +444,10 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     `n_cols`: sender-table rows when different from the receiver space
     (rectangular gather — the node-sharded halo-extended table).
     `aux`: optional [(array, pad_value), ...] of per-edge metadata sorted
-    and padded alongside the senders; returns (csr, [flat_aux, ...]) then.
+    and padded alongside the senders; returns
+    (csr, [flat_aux, ...], [spill_aux, ...]) then.
+    `hop_rows`: receiver rows per hop (for the spill hop cut points used
+    by slice_hops); 0 leaves spill_hop_ends empty.
     """
     assert tile_r % 128 == 0 and tile_e % 128 == 0, (tile_r, tile_e)
     assert wblock % 128 == 0, wblock
@@ -459,6 +460,46 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     raw_indptr = np.searchsorted(receivers, np.arange(n_nodes + 1))
 
     n_tiles = n_nodes // tile_r
+
+    # ---- degree-skew spill (hub tiles) ----
+    # cap each tile's kernel work: at most `ccap` sender-chunk rows and
+    # `wcap` window sub-blocks; edges beyond either cap leave the kernel
+    # path and are added by one XLA segment-sum instead (the caps bound
+    # VMEM scratch AND the kernel's unrolled body count).  Removing
+    # edges from a receiver-sorted list keeps it receiver-sorted, so the
+    # row ranges below stay contiguous.
+    ccap = max(egroup, (SPILL_CHUNK_ROWS // egroup) * egroup)
+    wcap = max(1, SPILL_WBLOCKS)
+    keep = np.ones(len(senders), dtype=bool)
+    for t in range(n_tiles):
+        lo, hi = raw_indptr[t * tile_r], raw_indptr[(t + 1) * tile_r]
+        if hi - lo <= tile_e and hi > lo:
+            # a tile this small cannot exceed the chunk cap; check only
+            # its window span
+            seg = senders[lo:hi]
+            w0 = (int(seg.min()) // 128) * 128
+            if int(seg.max()) < w0 + wcap * wblock:
+                continue
+        elif hi == lo:
+            continue
+        seg = senders[lo:hi]
+        w0 = (int(seg.min()) // 128) * 128
+        k = seg < w0 + wcap * wblock
+        n_keep = int(k.sum())
+        if n_keep > ccap * tile_e:
+            idx = np.flatnonzero(k)
+            k[idx[ccap * tile_e:]] = False
+        keep[lo:hi] = k
+    spill = None
+    if not keep.all():
+        sp = ~keep
+        spill = (senders[sp].astype(np.int32),
+                 receivers[sp].astype(np.int32),
+                 [a[sp].astype(np.int32) for a, _ in aux])
+        receivers = receivers[keep]
+        senders = senders[keep]
+        aux = [(a[keep], pad) for a, pad in aux]
+        raw_indptr = np.searchsorted(receivers, np.arange(n_nodes + 1))
     seg_senders: List[np.ndarray] = []
     seg_aux: List[List[np.ndarray]] = [[] for _ in aux]
     # vectorized tile bookkeeping (this runs per batch per hop per
@@ -517,6 +558,22 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
     flat = np.concatenate([flat, np.full(extra, n_cols, np.int64)])
     flat_aux = [np.concatenate([a, np.full(extra, pv, np.int64)])
                 for a, (_, pv) in zip(flat_aux, aux)]
+    spill_senders = spill_rows = None
+    spill_hop_ends: Tuple[int, ...] = ()
+    spill_aux: List[jnp.ndarray] = []
+    if spill is not None:
+        sps, spr, spa = spill
+        spill_senders = jnp.asarray(sps)
+        spill_rows = jnp.asarray(spr)
+        spill_aux = [jnp.asarray(a) for a in spa]
+        if hop_rows:
+            # spill rows are receiver-sorted, so each hop's spill edges
+            # form a prefix-contiguous run: record static cut points for
+            # slice_hops (hop k owns rows [k*hop_rows, (k+1)*hop_rows))
+            n_h = n_nodes // hop_rows
+            spill_hop_ends = tuple(
+                int(np.searchsorted(spr, (k + 1) * hop_rows))
+                for k in range(n_h))
     csr = HopCSR(
         indptr=jnp.asarray(indptr.astype(np.int32)),
         senders2d=jnp.asarray(flat.astype(np.int32).reshape(-1, tile_e)),
@@ -532,9 +589,13 @@ def _build_one(receivers, senders, n_nodes, tile_r=TILE_R,
         tile_r=tile_r,
         egroup=egroup,
         n_cols_static=(0 if n_cols == n_nodes else n_cols),
+        spill_senders=spill_senders,
+        spill_rows=spill_rows,
+        spill_hop_ends=spill_hop_ends,
     )
     if aux:
-        return csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux]
+        return (csr, [jnp.asarray(a.astype(np.int32)) for a in flat_aux],
+                spill_aux)
     return csr
 
 
@@ -561,6 +622,9 @@ class KHopPallasPlan:
     # (N, K) per-hop live in-degree (CSR row extents are tile-padded on
     # the last row of each tile, so the exact counts are stored directly)
     hop_deg: Optional[jnp.ndarray] = None
+    # attr codes of the fwd spill edges (aligned with fwd.spill_senders;
+    # feeds the GCN weighted-histogram path)
+    spill_code: Optional[jnp.ndarray] = None
     n_hops: int = struct.field(pytree_node=False, default=1)
 
     @property
@@ -578,6 +642,8 @@ class KHopPallasPlan:
                     + _buf_rows(csr.max_chunks))
             nr = k * rows_per_hop
             nt = nr // csr.tile_r
+            sp_end = (csr.spill_hop_ends[k - 1]
+                      if csr.spill_hop_ends else 0)
             return csr.replace(
                 indptr=csr.indptr[:nr + 1],
                 senders2d=csr.senders2d[:rows],
@@ -587,16 +653,27 @@ class KHopPallasPlan:
                 win_blk=csr.win_blk[:nt],
                 n_cols_static=(0 if cols_per_hop == rows_per_hop
                                else k * cols_per_hop),
-                hop_ends=csr.hop_ends[:k])
+                hop_ends=csr.hop_ends[:k],
+                # spill rows are receiver-sorted: hop prefix is static
+                spill_senders=(None if csr.spill_senders is None or
+                               sp_end == 0
+                               else csr.spill_senders[:sp_end]),
+                spill_rows=(None if csr.spill_rows is None or sp_end == 0
+                            else csr.spill_rows[:sp_end]),
+                spill_hop_ends=csr.spill_hop_ends[:k])
 
         fwd = cut(self.fwd, n, cn)
         flat_len = fwd.senders2d.shape[0] * tile_e
+        sp_end = (self.fwd.spill_hop_ends[k - 1]
+                  if self.fwd.spill_hop_ends else 0)
         return KHopPallasPlan(
             fwd=fwd, bwd=cut(self.bwd, cn, n),
             counts1=self.counts1,
             countsk=(self.countsk[:, :k - 1] if k > 1 else None),
             edge_recv=self.edge_recv[:flat_len],
             edge_code=self.edge_code[:flat_len],
+            spill_code=(None if self.spill_code is None or sp_end == 0
+                        else self.spill_code[:sp_end]),
             union_deg=self.union_deg,
             hop_deg=(self.hop_deg[:, :k]
                      if self.hop_deg is not None else None),
@@ -650,11 +727,12 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     r_all = np.concatenate(rs) if rs else np.zeros(0, np.int64)
     s_all = np.concatenate(ss) if ss else np.zeros(0, np.int64)
     c_all = np.concatenate(cs) if cs else np.zeros(0, np.int64)
-    fwd, (recv_f, code_f) = _build_one(
+    fwd, (recv_f, code_f), spill_aux = _build_one(
         r_all, s_all, R, tile_r, tile_e, wblock, egroup,
-        aux=[(r_all, R), (c_all, 0)], n_cols=C)
+        aux=[(r_all, R), (c_all, 0)], n_cols=C, hop_rows=n_nodes)
     bwd = _build_one(s_all, r_all, C, tile_r, tile_e, wblock, egroup,
-                     n_cols=R)
+                     n_cols=R, hop_rows=cn)
+    spill_code = spill_aux[1] if spill_aux else None
     fwd = fwd.replace(hop_ends=tuple(
         int(fwd.indptr[(k + 1) * n_nodes]) for k in range(K)))
     bwd = bwd.replace(hop_ends=tuple(
@@ -678,6 +756,7 @@ def build_plan(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         counts1=jnp.asarray(counts1),
         countsk=jnp.asarray(countsk) if countsk is not None else None,
         edge_recv=recv_f, edge_code=code_f,
+        spill_code=spill_code,
         union_deg=jnp.asarray(union_deg),
         hop_deg=jnp.asarray(hop_deg),
         n_hops=K,
@@ -727,8 +806,14 @@ def _weighted_hists(plan: KHopPallasPlan, sender_scale: jnp.ndarray,
     n = plan.counts1.shape[0]
     s_flat = jnp.transpose(sender_scale).reshape(-1)        # (K*Cn,)
     senders_flat = plan.fwd.senders2d.reshape(-1)
-    s_e = s_flat[senders_flat]
     idx = plan.edge_recv * V + plan.edge_code
+    if plan.fwd.spill_senders is not None:
+        # hub-spill edges contribute to the weighted histograms too
+        senders_flat = jnp.concatenate(
+            [senders_flat, plan.fwd.spill_senders])
+        idx = jnp.concatenate(
+            [idx, plan.fwd.spill_rows * V + plan.spill_code])
+    s_e = s_flat[senders_flat]
     return jax.ops.segment_sum(s_e, idx, num_segments=K * n * V
                                ).reshape(K, n, V)
 

@@ -172,6 +172,32 @@ def _stacked_plan(adj: ShardedCOOAdj, k: int, v1: int, vk: int,
             edge_code=jnp.concatenate(
                 [p.edge_code[:flat_len],
                  jnp.zeros((max(pad, 0),), jnp.int32)]))
+    # hub-spill edge lists are ragged across shards: pad to the common
+    # length with null entries (sender -> one past the table, row -> one
+    # past the output: segment_sum drops out-of-range rows)
+    for attr_name in ("fwd", "bwd"):
+        csrs = [getattr(p, attr_name) for p in plans]
+        sl = max((0 if c.spill_senders is None
+                  else int(c.spill_senders.shape[0])) for c in csrs)
+        for j, c in enumerate(csrs):
+            cur = 0 if c.spill_senders is None else int(
+                c.spill_senders.shape[0])
+            if sl == 0:
+                newc = c.replace(spill_hop_ends=())
+            else:
+                def padded(a, fill, cur=cur):
+                    base = (a if a is not None
+                            else jnp.zeros((0,), jnp.int32))
+                    return jnp.concatenate(
+                        [base, jnp.full((sl - cur,), fill, jnp.int32)])
+                newc = c.replace(
+                    spill_senders=padded(c.spill_senders, c.n_cols),
+                    spill_rows=padded(c.spill_rows, c.n_rows),
+                    spill_hop_ends=())
+            upd = {attr_name: newc}
+            if attr_name == "fwd" and sl:
+                upd["spill_code"] = padded(plans[j].spill_code, 0)
+            plans[j] = plans[j].replace(**upd)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
 
 

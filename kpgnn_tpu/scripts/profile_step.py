@@ -109,7 +109,11 @@ def stage_resident_ab(out_dir):
         np.arange(len(graphs)), BATCH, store.num_graphs))
     example = collate_dense(graphs[:BATCH], n_slot=N_SLOT, v1=v1, vk=vk,
                             g_pad=BATCH)
-    for dtype in ("float32", "bfloat16"):
+    import gc
+    import os as _os
+    dtypes = _os.environ.get("AB_DTYPES", "float32,bfloat16").split(",")
+    for dtype in dtypes:
+        gc.collect()            # drop the previous dtype's state buffers
         model, _, _ = _flagship(dtype)
         state, tx = create_train_state(model, example,
                                        jax.random.PRNGKey(0), 1e-3)
@@ -133,6 +137,8 @@ def stage_resident_ab(out_dir):
         jax.block_until_ready(ls)
         jax.profiler.stop_trace()
         _summarize(d, f"resident {dtype} epoch")
+        del state, tx, ep, ls, cnt, model
+        gc.collect()
 
 
 def stage_bf16(out_dir):

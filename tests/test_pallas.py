@@ -72,11 +72,12 @@ def test_heavy_row():
     assert np.allclose(np.asarray(out), expect, atol=1e-3)
 
 
-def test_hub_tile_multi_pass(monkeypatch):
-    """A hub receiver whose sender span would blow the VMEM scratch
-    budget must stay on the kernel as several window passes over the
-    same output block — NOT fall back to XLA scatter.  Shrunken VMEM
-    limits force the multi-pass path at test scale."""
+def test_hub_tile_spills_to_coo(monkeypatch):
+    """A hub receiver whose sender span / edge count exceeds the kernel
+    caps keeps the kernel for the in-cap edges and spills the rest to a
+    COO side list — NOT the all-or-nothing XLA fallback.  Tight caps
+    force spilling at test scale; the result must stay exact and the
+    kernel statics bounded."""
     rng = np.random.default_rng(7)
     n, D = 1024, 16
     # hub node 3 receives from everywhere (span = whole table); the rest
@@ -87,14 +88,11 @@ def test_hub_tile_multi_pass(monkeypatch):
         rng.integers(0, n - 1, 800)]).astype(np.int32)
     receivers = np.concatenate([
         np.full(hub_e, 3), rng.integers(0, n, 800)]).astype(np.int32)
+    monkeypatch.setattr(ps, "SPILL_CHUNK_ROWS", 8)
+    monkeypatch.setattr(ps, "SPILL_WBLOCKS", 2)
     csr = _build_one(receivers, senders, n, 128, wblock=128)
-    assert csr.max_wblocks >= 8
-    # force the HBM-window path and a tiny per-pass budget
-    monkeypatch.setattr(ps, "VMEM_X_RESIDENT_LIMIT", 0)
-    monkeypatch.setattr(
-        ps, "VMEM_SCRATCH_LIMIT",
-        2 * ps._buf_rows(csr.max_chunks) * 128 * 4
-        + 2 * 3 * 128 * 128 * 4)   # 3 window blocks/pass at 128 lanes
+    assert csr.spill_senders is not None
+    assert csr.max_chunks <= 8 and csr.max_wblocks <= 2
     x = rng.normal(size=(n, D)).astype(np.float32)
     import warnings as _w
     with _w.catch_warnings():
@@ -104,6 +102,57 @@ def test_hub_tile_multi_pass(monkeypatch):
     np.add.at(expect, receivers, x[senders])
     assert np.allclose(np.asarray(out), expect, atol=1e-3), \
         np.abs(np.asarray(out) - expect).max()
+    # an uncapped plan of the same graph must be spill-free
+    monkeypatch.setattr(ps, "SPILL_CHUNK_ROWS", 64)
+    monkeypatch.setattr(ps, "SPILL_WBLOCKS", 8)
+    csr2 = _build_one(receivers, senders, n, 128)
+    assert csr2.spill_senders is None
+
+
+def test_spill_khop_plan_matches_oracle(monkeypatch):
+    """Full khop_spmm (embeddings + GCN scales) over a spilling plan,
+    including slice_hops and gradients."""
+    monkeypatch.setattr(ps, "SPILL_CHUNK_ROWS", 4)
+    monkeypatch.setattr(ps, "SPILL_WBLOCKS", 1)
+    senders, receivers, attr, x, t1, tk = case(seed=9, n=256, e=2000, D=8)
+    # concentrate edges on one hub receiver (re-sort: the COO reference
+    # assumes receiver-sorted edges)
+    receivers = receivers.copy()
+    receivers[:900] = 5
+    order = np.argsort(receivers, kind="stable")
+    senders, receivers, attr = senders[order], receivers[order], attr[order]
+    n = x.shape[0]
+    plan = build_plan(receivers, senders, attr, n, t1.shape[0],
+                      tk.shape[0])
+    assert plan.fwd.spill_senders is not None
+    out = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk), plan)
+    expect = oracle(senders, receivers, attr, x, t1, tk, n)
+    assert np.allclose(np.asarray(out), expect, atol=1e-4), \
+        np.abs(np.asarray(out) - expect).max()
+    # GCN factored-norm epilogue exercises the spill-aware weighted hists
+    rng = np.random.default_rng(3)
+    sc = rng.random((n, attr.shape[1])).astype(np.float32)
+    ss = rng.random((n, attr.shape[1])).astype(np.float32)
+    out2 = khop_spmm(jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk),
+                     plan, scale=jnp.asarray(sc),
+                     sender_scale=jnp.asarray(ss))
+    expect2 = _coo_reference(senders, receivers, attr, x, t1, tk, n,
+                             scale=jnp.asarray(sc),
+                             sender_scale=jnp.asarray(ss))
+    assert np.allclose(np.asarray(out2), expect2, atol=1e-4), \
+        np.abs(np.asarray(out2) - expect2).max()
+    # sliced window keeps its own spill prefix
+    k = 2
+    sub = plan.slice_hops(k)
+    out3 = khop_spmm(jnp.asarray(x[:, :k]), jnp.asarray(t1),
+                     jnp.asarray(tk), sub)
+    expect3 = oracle(senders, receivers, attr[:, :k], x[:, :k], t1, tk, n)
+    assert np.allclose(np.asarray(out3), expect3, atol=1e-4), \
+        np.abs(np.asarray(out3) - expect3).max()
+    # gradients flow through kernel + spill
+    g = jax.grad(lambda v: jnp.sum(khop_spmm(
+        v, jnp.asarray(t1), jnp.asarray(tk), plan) ** 2))(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_khop_spmm_matches_oracle():
