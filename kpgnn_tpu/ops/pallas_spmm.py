@@ -846,15 +846,13 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     if sender_scale is not None:
         x = x * sender_scale[..., None].astype(x.dtype)
     # the kernel stores its table in bf16 anyway (MXU DEFAULT-precision
-    # rounding); casting BEFORE the hop-major transpose halves the
-    # relayout traffic, which the large-graph step trace showed as one
-    # of the biggest non-kernel costs.  CPU interpret keeps f32 so tests
-    # compare exactly against f32 oracles.
-    if (jax.default_backend() != "cpu"
-            and precision in (jax.lax.Precision.DEFAULT, None)):
-        x = x.astype(jnp.bfloat16)
-    else:
-        x = x.astype(jnp.float32)
+    # rounding, the only precision this wrapper drives it at); casting
+    # BEFORE the hop-major transpose halves the relayout traffic, which
+    # the large-graph step trace showed as one of the biggest non-kernel
+    # costs.  CPU interpret keeps f32 so tests compare exactly against
+    # f32 oracles.
+    x = x.astype(jnp.float32 if jax.default_backend() == "cpu"
+                 else jnp.bfloat16)
     xs = jnp.transpose(x, (1, 0, 2)).reshape(K * cn, D)
     outf = _gather_segment(xs, plan.fwd, plan.bwd)
     if out_dtype == jnp.bfloat16:
