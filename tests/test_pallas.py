@@ -155,6 +155,26 @@ def test_spill_khop_plan_matches_oracle(monkeypatch):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_collate_pallas_auto_geometry():
+    """--backend pallas users get the measured-optimal geometry without
+    flags: flagship-shaped batches auto-pick tile_r=256 (tune_pallas:
+    256x512x4 on v5e), tiny fixtures keep 128 so n_pad stays small."""
+    from kpgnn_tpu.data.synthetic import synthetic_molecules
+    from kpgnn_tpu.graph.batch import collate_pallas
+    from kpgnn_tpu.prep import KHopConfig
+
+    kcfg = KHopConfig(K=4, kernel="spd", max_edge_attr_num=10,
+                      max_hop_num=2, max_edge_type=2, max_edge_count=10,
+                      max_distance_count=10)
+    graphs = synthetic_molecules(64, kcfg, seed=0)
+    b = collate_pallas(graphs, v1=5, vk=12)
+    assert b.adj.fwd.tile_r == 256
+    assert b.adj.fwd.wblock == 512
+    assert b.adj.fwd.egroup == 4
+    tiny = collate_pallas(graphs[:2], v1=5, vk=12)
+    assert tiny.adj.fwd.tile_r == 128
+
+
 def test_khop_spmm_matches_oracle():
     senders, receivers, attr, x, t1, tk = case()
     n = x.shape[0]
