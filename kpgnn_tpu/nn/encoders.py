@@ -83,15 +83,15 @@ class FeatureConcatEncoder(nn.Module):
                 t = t * (jnp.arange(dim) != 0).astype(t.dtype)[:, None]
             folded.append(t @ kernel[i * H:(i + 1) * H])
         table = jnp.concatenate(folded, axis=0)      # (sum dims, H)
-        offs = np.cumsum([0] + dims[:-1])
-        ids = x + jnp.asarray(offs, dtype=x.dtype)   # (..., C) global ids
-        V = int(sum(dims))
-        oh = (ids[..., None] == jnp.arange(V, dtype=ids.dtype)
-              ).astype(jnp.float32)                  # (..., C, V)
-        axes = ((-2,) if sum_axis is None
-                else (sum_axis, x.ndim - 1))
-        counts = jnp.sum(oh, axis=axes)              # (..., V)
-        out = jnp.einsum("...v,vd->...d", counts, table,
+        # per-column one-hots concatenated along the value axis (each is
+        # (..., dim_i); no (..., C, sum dims) intermediate)
+        oh = jnp.concatenate(
+            [(x[..., i:i + 1] == jnp.arange(dim, dtype=x.dtype)
+              ).astype(jnp.float32)
+             for i, dim in enumerate(dims)], axis=-1)   # (..., V)
+        if sum_axis is not None:
+            oh = jnp.sum(oh, axis=sum_axis)
+        out = jnp.einsum("...v,vd->...d", oh, table,
                          precision=jax.lax.Precision.HIGHEST)
         n_bias = 1 if sum_axis is None else x.shape[sum_axis]
         return out + n_bias * bias.astype(out.dtype)

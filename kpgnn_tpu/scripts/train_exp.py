@@ -46,6 +46,10 @@ def main(argv=None):
     model = make_model(mcfg)
     lk = loader_kwargs(args, mcfg, graphs)
 
+    if args.folds < 2:
+        # fold f's test is 1/folds of the data and the train split is
+        # the rest: folds=1 would leave the train split empty
+        raise SystemExit("--folds must be >= 2")
     # contiguous block folds keep each 1-WL pair intact and both classes
     # in every split (reference: train_EXP.py:260-282)
     n = len(graphs)
