@@ -301,3 +301,37 @@ def test_gine_matches_numpy_oracle():
     h = torch_lin_bn_relu(h, mlp["lin0"], mlp["bn0"])
     h = torch_lin_bn_relu(h, mlp["lin1"], mlp["bn1"])
     assert np.allclose(out, h, atol=1e-4), np.abs(out - h).max()
+
+
+def test_feature_concat_encoder_folded_equals_naive():
+    """The folded histogram contraction must equal the reference
+    formulation proj(concat_i(T_i[x_i])) exactly (same params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kpgnn_tpu.nn.encoders import FeatureConcatEncoder
+
+    rng = np.random.default_rng(0)
+    dims = [5, 21, 7]
+    H = 16
+    x = rng.integers(0, 5, size=(11, 2, 3)).astype(np.int32)
+    for padding in (False, True):
+        enc = FeatureConcatEncoder(dims, H, padding=padding)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = np.asarray(enc.apply(v, jnp.asarray(x)))
+
+        p = v["params"]
+        naive = []
+        for i, dim in enumerate(dims):
+            t = np.asarray(p[f"emb{i}"]["embedding"]).copy()
+            if padding:
+                t[0] = 0.0
+            naive.append(t[x[..., i]])
+        cat = np.concatenate(naive, axis=-1)
+        want = cat @ np.asarray(p["proj"]["kernel"]) + np.asarray(
+            p["proj"]["bias"])
+        assert np.allclose(out, want, atol=1e-5), np.abs(out - want).max()
+
+        # sum_axis folds the reduction in (bias once per summed element)
+        out_s = np.asarray(enc.apply(v, jnp.asarray(x), sum_axis=1))
+        assert np.allclose(out_s, want.sum(axis=1), atol=1e-4)
