@@ -314,7 +314,35 @@ def _deadline_watchdog(deadline_s: float):
     threading.Thread(target=fire, daemon=True).start()
 
 
+def _resident_bf16_only():
+    """Subprocess mode: measure ONLY the bf16 resident epoch in a clean
+    process (see the TRAP-4 note at the call site) and print one JSON
+    line."""
+    if os.environ.get("BENCH_SUBPROC_PLATFORM") == "cpu":
+        # a CPU-forced parent (smoke runs) must not let the child fall
+        # through to the sitecustomize-pinned TPU; config.update works
+        # pre-backend-init (the tests/conftest.py trick)
+        jax.config.update("jax_platforms", "cpu")
+    _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
+    model, mcfg, graphs, model_bf16 = _model_and_graphs()
+    v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+    from kpgnn_tpu.graph.batch import collate_dense
+    example = collate_dense(graphs[:BATCH], n_slot=N_SLOT, v1=v1, vk=vk,
+                            g_pad=BATCH)
+    # every union edge is live at some hop, so per-batch union-edge
+    # counts are just the graphs' edge counts (matches the main path's
+    # hop_attr-derived counts)
+    edges = [sum(g.num_edges for g in graphs[i:i + BATCH])
+             for i in range(0, len(graphs), BATCH)]
+    val = round(_bench_resident(model_bf16, graphs, mcfg, example,
+                                edges), 1)
+    print(json.dumps({"metric": "dense_resident_bf16", "value": val}))
+
+
 def main():
+    if os.environ.get("BENCH_ONLY_RESIDENT_BF16"):
+        _resident_bf16_only()
+        return
     _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
     _deadline_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
     _mark("device up; building model + collating")
@@ -347,11 +375,25 @@ def main():
     except Exception as e:
         backends["dense_resident"] = f"error: {type(e).__name__}: {e}"[:120]
     _partial["stage"] = "dense_resident_bf16"
-    _mark("backend dense_resident_bf16")
-    try:                                # bf16 activations on the resident
-        backends["dense_resident_bf16"] = round(  # path: the per-STEP bf16
-            _bench_resident(model_bf16, graphs, mcfg,   # comparison is
-                            batched["dense"][0], edges), 1)  # host-bound
+    _mark("backend dense_resident_bf16 (clean subprocess)")
+    try:
+        # bf16 activations on the resident path.  Measured in its OWN
+        # process: a bf16 resident epoch dispatched after f32
+        # executables in the same process runs ~4x slower wall on the
+        # tunnel-attached chip (device time unchanged — a runtime
+        # ordering artifact, MEASUREMENT TRAP 4 in CLAUDE.md); bf16
+        # measured first, or alone, is faster than f32.  The remote
+        # compile cache is shared across processes, so the subprocess
+        # costs one warm compile, not a cold one.
+        import subprocess
+        env = dict(os.environ, BENCH_ONLY_RESIDENT_BF16="1",
+                   BENCH_SUBPROC_PLATFORM=jax.default_backend())
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=1500)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        backends["dense_resident_bf16"] = json.loads(line)["value"]
     except Exception as e:
         backends["dense_resident_bf16"] = \
             f"error: {type(e).__name__}: {e}"[:120]
