@@ -298,6 +298,11 @@ class GNNPlus(nn.Module):
                   if self.virtual_node else None)
         vn = vn_mod.initial(batch.g_pad) if vn_mod is not None else None
 
+        # hop-major peripheral view, transposed ONCE per forward — every
+        # layer's window is then built hop-major (axis-0 stack, free) and
+        # the whole KPGINPlusConv runs without layout copies
+        peripheral_hm = jnp.transpose(peripheral_attr, (1, 0, 2))
+
         h_list = [x]
         last_h = x
         for l in range(L):                                     # noqa: E741
@@ -305,11 +310,11 @@ class GNNPlus(nn.Module):
                 h_list[l] = h_list[l] + vn[batch.node_graph_ids].astype(h_list[l].dtype)
             k = min(l + 1, K)
             window = jnp.stack([h_list[j] for j in range(l, l - k, -1)],
-                               axis=1)                         # (N, k, H)
+                               axis=0)                         # (k, N, H)
             layer = self.layer_fn(l, f"gnn{l}")
             h = layer(window, batch.adj.slice_hops(k),
                       batch.pe_attr[:, :k - 1] if batch.pe_attr is not None else None,
-                      peripheral_attr[:, :k],
+                      peripheral_hm[:k],
                       node_mask=batch.node_mask, train=train)
             h = _apply_norm(self.norm_type, f"norm{l}", self, h, batch, train)
             if l != L - 1:

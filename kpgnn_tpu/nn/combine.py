@@ -14,24 +14,33 @@ from ..ops.lstm import BiLSTM
 class AttentionCombine(nn.Module):
     """Bi-LSTM over the hop axis scores each hop; softmax-weighted sum
     (reference: layers/combine.py:8-27).  LSTM hidden size is K, so scores
-    are (N, K, 2K) summed over the last axis."""
+    are (N, K, 2K) summed over the last axis.
+
+    ``hop_major=True`` takes x as (K, N, D) — the LSTM's native time-major
+    layout, so the whole combine runs transpose-free."""
 
     K: int
+    hop_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        score = BiLSTM(self.K, name="attention_lstm")(x)     # (N, K, 2K)
-        att = jax.nn.softmax(score.sum(-1), axis=1)[..., None]
-        return (x * att).sum(axis=1)
+        lstm = BiLSTM(self.K, time_major=self.hop_major,
+                      name="attention_lstm")
+        score = lstm(x)                     # (N, K, 2K) | (K, N, 2K)
+        hop_axis = 0 if self.hop_major else 1
+        att = jax.nn.softmax(score.sum(-1), axis=hop_axis)[..., None]
+        return (x * att).sum(axis=hop_axis)
 
 
 class GeometricCombine(nn.Module):
     """Per-channel learnable geometric hop weights
     theta_i ∝ sigmoid(a) * (1 - sigmoid(a))^i, softmax-normalized over hops
-    (reference: layers/combine.py:30-58)."""
+    (reference: layers/combine.py:30-58).  ``hop_major=True`` takes
+    (K, N, D)."""
 
     K: int
     hidden_size: int
+    hop_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -40,12 +49,15 @@ class GeometricCombine(nn.Module):
         i = jnp.arange(self.K, dtype=x.dtype)[:, None]
         thetas = a[None, :] * (1.0 - a[None, :]) ** i        # (K, D)
         thetas = jax.nn.softmax(thetas, axis=0)
+        if self.hop_major:
+            return (x * thetas[:, None]).sum(axis=0)
         return (x * thetas[None]).sum(axis=-2)
 
 
-def make_combine(combine: str, K: int, hidden_size: int, name: str = "combine"):
+def make_combine(combine: str, K: int, hidden_size: int, name: str = "combine",
+                 hop_major: bool = False):
     if combine == "attention":
-        return AttentionCombine(K, name=name)
+        return AttentionCombine(K, hop_major, name=name)
     if combine == "geometric":
-        return GeometricCombine(K, hidden_size, name=name)
+        return GeometricCombine(K, hidden_size, hop_major, name=name)
     raise ValueError("Not implemented combine function")

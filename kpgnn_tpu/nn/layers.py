@@ -66,6 +66,17 @@ def _add_path_encoding(x_hops, tpe, pe_attr):
     return x_hops.at[:, 1:].add(small_table_lookup(table, pe_attr))
 
 
+def _add_path_encoding_hm(x_hops, tpe, pe_attr):
+    """Hop-major variant: x_hops (k, N, H), pe built per hop column and
+    stacked on axis 0 — no layout copies."""
+    if tpe is None or pe_attr is None or x_hops.shape[0] == 1:
+        return x_hops
+    table = tpe.at[0].set(0.0).astype(x_hops.dtype)
+    pe = jnp.stack([small_table_lookup(table, pe_attr[:, i])
+                    for i in range(x_hops.shape[0] - 1)], axis=0)
+    return x_hops.at[1:].add(pe)
+
+
 def _self_loop_row(t1, tk, K):
     """(K, width) embedding of attr value 1 on every hop column."""
     if K > 1:
@@ -217,9 +228,13 @@ class KPGraphSAGEConv(nn.Module):
 class KPGINPlusConv(nn.Module):
     """KP-GIN+ (reference: layers/KPGINplus.py:10-88).
 
-    Full hidden width per hop; the caller supplies x as the (N, k, H)
-    sliding window of previous layer outputs; GELU after aggregation, then
-    combine and a shared BN MLP.
+    Full hidden width per hop; the caller supplies x as the HOP-MAJOR
+    (k, N, H) sliding window of previous layer outputs (GNNPlus stacks
+    the last k layer outputs on axis 0 — a free concat), along with
+    hop-major peripheral_attr (k, N, H).  The whole layer — path
+    encoding, aggregation, GELU, combine — runs hop-major with zero
+    layout copies; GELU after aggregation, then combine and a shared BN
+    MLP.
     """
 
     hidden_size: int
@@ -234,12 +249,13 @@ class KPGINPlusConv(nn.Module):
         K, H = self.K, self.hidden_size
         t1, tk, tpe = _edge_tables(self, K, H, self.num_hop1_edge,
                                    self.num_pe)
-        x = _add_path_encoding(x, tpe, pe_attr)
-        x_n = khop_aggregate_adj(adj, x, t1, tk)
+        x = _add_path_encoding_hm(x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk, hop_major=True)
         x_n = jax.nn.gelu(x_n, approximate=False)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
-        h = make_combine(self.combine, K, H)(x_n) if K > 1 else x_n[:, 0]
+        h = (make_combine(self.combine, K, H, hop_major=True)(x_n)
+             if K > 1 else x_n[0])
         h = MLP([H, H], use_batchnorm=True, name="mlp")(
             h, mask=node_mask, train=train, axis_name=node_axis(adj))
         return h

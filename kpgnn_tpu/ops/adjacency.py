@@ -125,24 +125,35 @@ def union_in_degree(adj: Adjacency) -> jnp.ndarray:
 
 def khop_aggregate_adj(
     adj: Adjacency,
-    x: jnp.ndarray,                     # (N, K, D)
+    x: jnp.ndarray,                     # (N, K, D) | (K, N, D) hop-major
     table1: jnp.ndarray,                # (V1, D) hop-1 edge-emb table
     tablek: Optional[jnp.ndarray],      # (Vk, D) hop-k table | None if K==1
     *,
     scale: Optional[jnp.ndarray] = None,   # (N, K) receiver-side scale d_i
     sender_scale: Optional[jnp.ndarray] = None,  # (N, K) sender-side d_j
     aggr: str = "add",
+    hop_major: bool = False,
 ) -> jnp.ndarray:
     """out[i,k] = aggr_j live * s_i[k] * s_j[k] * (x[j,k] + emb_k(attr)).
 
     GCN's symmetric norm factors as s_i * s_j (both deg^-0.5), which keeps
     the dense path a pure matmul; generic per-edge scales only exist on
     the COO path.
+
+    ``hop_major=True`` takes and returns (K, N, D) — the layout GNNPlus
+    builds its sliding windows in for free.  The pallas and dense
+    backends run it natively (zero layout copies at the aggregation
+    boundary); COO and sharded transpose at the boundary.
     """
     from .pallas_spmm import KHopPallasPlan, khop_spmm
     from .sharded_adjacency import ShardedCOOAdj, sharded_khop_aggregate
 
     if isinstance(adj, ShardedCOOAdj):
+        if hop_major:
+            out = khop_aggregate_adj(
+                adj, jnp.transpose(x, (1, 0, 2)), table1, tablek,
+                scale=scale, sender_scale=sender_scale, aggr=aggr)
+            return jnp.transpose(out, (1, 0, 2))
         t1 = _zero_row0(table1).astype(x.dtype)
         tk = (_zero_row0(tablek).astype(x.dtype)
               if tablek is not None else None)
@@ -153,7 +164,12 @@ def khop_aggregate_adj(
         # boundary relayouts in bf16; f32 stays f32 end to end)
         return khop_spmm(x, table1, tablek, adj,
                          scale=scale, sender_scale=sender_scale,
-                         aggr=aggr)
+                         aggr=aggr, hop_major=hop_major)
+    if hop_major and isinstance(adj, COOAdj):
+        out = khop_aggregate_adj(
+            adj, jnp.transpose(x, (1, 0, 2)), table1, tablek,
+            scale=scale, sender_scale=sender_scale, aggr=aggr)
+        return jnp.transpose(out, (1, 0, 2))
 
     table1 = _zero_row0(table1).astype(x.dtype)
     tablek = (_zero_row0(tablek).astype(x.dtype)
@@ -178,6 +194,23 @@ def khop_aggregate_adj(
     # ---- dense path ----
     B, n = adj.B, adj.n
     D = x.shape[-1]
+    if hop_major:
+        if scale is not None or sender_scale is not None or aggr != "add":
+            # scaled/mean variants are node-major-only (no hop-major
+            # caller uses them); route through the boundary transpose
+            out = khop_aggregate_adj(
+                adj, jnp.transpose(x, (1, 0, 2)), table1, tablek,
+                scale=scale, sender_scale=sender_scale, aggr=aggr)
+            return jnp.transpose(out, (1, 0, 2))
+        xb = x.reshape(K, B, n, D)
+        # hop-major mask: the swap fuses into the compare's layout
+        live = jnp.swapaxes((adj.hop_attr > 0), 0, 1).astype(x.dtype)
+        neigh = jnp.einsum("kbij,kbjd->kbid", live, xb)   # (K, B, n, D)
+        parts = [adj.counts1.astype(x.dtype) @ table1]    # (B, n, D)
+        if K > 1:
+            parts += [adj.countsk[:, :, k - 1].astype(x.dtype) @ tablek
+                      for k in range(1, K)]
+        return (neigh + jnp.stack(parts, axis=0)).reshape(K, B * n, D)
     xb = x.reshape(B, n, K, D)
     live = (adj.hop_attr > 0).astype(x.dtype)            # (B, K, n, n)
     if sender_scale is not None:

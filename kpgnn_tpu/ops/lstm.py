@@ -34,13 +34,20 @@ def _lstm_uniform(hidden_size: int):
 
 
 class BiLSTM(nn.Module):
-    """One-layer bidirectional LSTM. Input (B, T, F) -> output (B, T, 2H)."""
+    """One-layer bidirectional LSTM. Input (B, T, F) -> output (B, T, 2H);
+    with ``time_major=True`` input (T, B, F) -> output (T, B, 2H) and no
+    boundary transposes at all (the recurrence is time-major internally —
+    hop-major callers feed it for free)."""
 
     hidden_size: int
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, T, F = x.shape
+        if self.time_major:
+            T, B, F = x.shape
+        else:
+            B, T, F = x.shape
         H = self.hidden_size
         init = _lstm_uniform(H)
         params = {}
@@ -52,7 +59,7 @@ class BiLSTM(nn.Module):
                 b_hh=self.param(f"b_hh_{d}", init, (4 * H,)),
             )
 
-        tm = jnp.swapaxes(x, 0, 1)                      # (T, B, F)
+        tm = x if self.time_major else jnp.swapaxes(x, 0, 1)   # (T, B, F)
         # both directions' input projections in ONE matmul over the
         # F-wide input (concatenated gate weights), then slice per
         # direction — the time reversal applies to the 4H-narrow gate
@@ -92,4 +99,4 @@ class BiLSTM(nn.Module):
             h0 = jax.lax.pvary(h0, tuple(vma))
         _, hs = jax.lax.scan(step, (h0, h0), xg, unroll=True)  # (T, 2, B, H)
         out = jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)  # (T, B, 2H)
-        return jnp.swapaxes(out, 0, 1)
+        return out if self.time_major else jnp.swapaxes(out, 0, 1)

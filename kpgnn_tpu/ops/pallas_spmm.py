@@ -824,7 +824,8 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
               *,
               scale: Optional[jnp.ndarray] = None,         # (N, K) s_i
               sender_scale: Optional[jnp.ndarray] = None,  # (N, K) s_j
-              aggr: str = "add") -> jnp.ndarray:
+              aggr: str = "add",
+              hop_major: bool = False) -> jnp.ndarray:
     """Full differentiable k-hop aggregation via the Pallas kernel.
 
     x: (N, K, D); returns (N, K, D).  Matches ops.adjacency's
@@ -833,18 +834,28 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     side post-scales the output) and SAGE's union-denominator mean.
 
     All K hops run in ONE kernel dispatch forward (and one backward):
-    x is laid out hop-major (K*N, D) to match the fused CSR.
+    x is laid out hop-major (K*N, D) to match the fused CSR.  With
+    ``hop_major=True`` x arrives as (K, N, D) and the result returns
+    (K, N, D): the kernel-boundary flattenings become free reshapes —
+    zero layout copies end to end (the hop-major fast path GNNPlus
+    feeds; hop-major embedding sums are stacked per hop instead of
+    concatenated on axis 1).
 
     Rectangular (node-sharded) plans gather from a halo-extended sender
     table: x is then (n_ext, K, D) while the output stays (n_local, K, D)
     (and sender_scale is sized to the extended table).
     """
-    cn, K, D = x.shape          # sender-table nodes (== N for square)
+    if hop_major:
+        K, cn, D = x.shape
+    else:
+        cn, K, D = x.shape      # sender-table nodes (== N for square)
     n = plan.counts1.shape[0]   # receiver (output) nodes
     assert K * cn == plan.fwd.n_cols, (x.shape, plan.fwd.n_cols)
     out_dtype = x.dtype
     if sender_scale is not None:
-        x = x * sender_scale[..., None].astype(x.dtype)
+        ss = (jnp.transpose(sender_scale)[..., None] if hop_major
+              else sender_scale[..., None])
+        x = x * ss.astype(x.dtype)
     # the kernel stores its table in bf16 anyway (MXU DEFAULT-precision
     # rounding, the only precision this wrapper drives it at); casting
     # BEFORE the hop-major transpose halves the relayout traffic, which
@@ -853,44 +864,52 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
     # f32 oracles.
     x = x.astype(jnp.float32 if jax.default_backend() == "cpu"
                  else jnp.bfloat16)
-    xs = jnp.transpose(x, (1, 0, 2)).reshape(K * cn, D)
+    xs = (x.reshape(K * cn, D) if hop_major
+          else jnp.transpose(x, (1, 0, 2)).reshape(K * cn, D))
     outf = _gather_segment(xs, plan.fwd, plan.bwd)
     if out_dtype == jnp.bfloat16:
         # bf16 models cast the result right back down; do it before the
         # un-transpose so that relayout moves half the bytes too
         outf = outf.astype(jnp.bfloat16)
-    out = jnp.transpose(outf.reshape(K, n, D), (1, 0, 2))      # (N, K, D)
+    out = (outf.reshape(K, n, D) if hop_major
+           else jnp.transpose(outf.reshape(K, n, D), (1, 0, 2)))
     t1 = table1.at[0].set(0.0)
     hi = jax.lax.Precision.HIGHEST     # counts are exact integers; keep f32
+    hop_axis = 0 if hop_major else 1
+
+    def _hop_stack(parts):
+        # (N, D) per hop -> (K, N, D) | (N, K, D)
+        return jnp.stack(parts, axis=hop_axis)
+
     if sender_scale is None:
-        emb = jnp.matmul(plan.counts1, t1, precision=hi)       # (N, D)
+        parts = [jnp.matmul(plan.counts1, t1, precision=hi)]   # (N, D)
         if tablek is not None and K > 1:
             tk = tablek.at[0].set(0.0)
-            embk = jnp.einsum("nkv,vd->nkd", plan.countsk, tk,
-                              precision=hi)                    # (N, K-1, D)
-            emb_all = jnp.concatenate([emb[:, None], embk], axis=1)
-        else:
-            emb_all = emb[:, None]
+            parts += [jnp.matmul(plan.countsk[:, k - 1], tk, precision=hi)
+                      for k in range(1, K)]
+        emb_all = _hop_stack(parts)
     else:
         # counts were built unweighted; rebuild per hop weighted by s_j
         # (scalar scatter per edge, then the table matmul rides the MXU)
         V = max(t1.shape[0],
                 tablek.shape[0] if tablek is not None else 0)
         hists = _weighted_hists(plan, sender_scale, V)
-        parts = [jnp.matmul(hists[0, :, :t1.shape[0]], t1,
-                            precision=hi)[:, None]]
+        parts = [jnp.matmul(hists[0, :, :t1.shape[0]], t1, precision=hi)]
         if tablek is not None and K > 1:
             tk = tablek.at[0].set(0.0)
             for k in range(1, K):
                 parts.append(jnp.matmul(hists[k, :, :tk.shape[0]], tk,
-                                        precision=hi)[:, None])
-        emb_all = jnp.concatenate(parts, axis=1)
+                                        precision=hi))
+        emb_all = _hop_stack(parts)
     out = out + emb_all.astype(out.dtype)
     if scale is not None:
-        out = out * scale[..., None].astype(out.dtype)
+        sc = jnp.transpose(scale)[..., None] if hop_major \
+            else scale[..., None]
+        out = out * sc.astype(out.dtype)
     if aggr == "mean":
-        out = out / jnp.maximum(plan.union_deg, 1.0)[:, None, None].astype(
-            out.dtype)
+        deg = jnp.maximum(plan.union_deg, 1.0)
+        deg = (deg[None, :, None] if hop_major else deg[:, None, None])
+        out = out / deg.astype(out.dtype)
     elif aggr != "add":
         raise ValueError(f"pallas backend does not support aggr={aggr!r}")
     return out.astype(out_dtype)

@@ -77,10 +77,11 @@ def test_kpginplus_slice_dense_equals_coo():
     coo, dense = both_batches(gs, K)
     conv = KPGINPlusConv(hidden_size=12, K=2, num_hop1_edge=V1 - 2,
                          num_pe=VK - 2)
-    xs_coo = jnp.stack([coo.x, coo.x * 0.5], axis=1)
-    xs_dense = jnp.stack([dense.x, dense.x * 0.5], axis=1)
-    pa_coo = jnp.zeros((coo.n_pad, 2, 12))
-    pa_dense = jnp.zeros((dense.n_pad, 2, 12))
+    # KPGINPlusConv takes the hop-major (k, N, H) window
+    xs_coo = jnp.stack([coo.x, coo.x * 0.5], axis=0)
+    xs_dense = jnp.stack([dense.x, dense.x * 0.5], axis=0)
+    pa_coo = jnp.zeros((2, coo.n_pad, 12))
+    pa_dense = jnp.zeros((2, dense.n_pad, 12))
     v = conv.init(jax.random.PRNGKey(1), xs_coo, coo.adj.slice_hops(2),
                   coo.pe_attr[:, :1], pa_coo, coo.node_mask)
     out_coo, _ = conv.apply(v, xs_coo, coo.adj.slice_hops(2),
