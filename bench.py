@@ -193,27 +193,34 @@ def _bench_large_graph():
 
     n_nodes, kk, batch = 8192, 3, 2
     graphs = synthetic_polymers(batch, n_nodes, K=kk, seed=0)
-    mcfg = ModelConfig(
+    mk = lambda dtype: ModelConfig(
         model_name="KPGIN", hidden_size=102, num_layer=3, K=kk,
         num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
         max_edge_count=20, max_hop_num=6, max_distance_count=30,
         JK="last", combine="attention", residual=True,
         input_encoder=("embedding", 21),
         task="graph_regression", pooling_method="sum",
-        compute_dtype="float32")
-    model = make_model(mcfg)
+        compute_dtype=dtype)
+    mcfg = mk("float32")
+    model, model_bf16 = make_model(mcfg), make_model(mk("bfloat16"))
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
     coo_b = collate(graphs)
     edges = [int(np.asarray(coo_b.adj.edge_mask).sum())]
     out = {"n_nodes": n_nodes, "batch": batch, "K": kk,
            "union_edges": edges[0],
            "dense": "excluded: (K, n, n) hop tiles infeasible at n=8192"}
-    for name, batches in (
-            ("coo", [coo_b]),
-            ("pallas", [collate_pallas(graphs, v1=v1, vk=vk, tile_r=256,
-                                       wblock=512, egroup=4)])):
+    from kpgnn_tpu.graph.batch import collate_banded
+    pallas_b = collate_pallas(graphs, v1=v1, vk=vk, tile_r=256,
+                              wblock=512, egroup=4)
+    banded_b = collate_banded(graphs, v1=v1, vk=vk)
+    for name, m, batches in (
+            ("coo", model, [coo_b]),
+            ("pallas", model, [pallas_b]),
+            ("banded", model, [banded_b]),
+            ("pallas_bf16", model_bf16, [pallas_b]),
+            ("banded_bf16", model_bf16, [banded_b])):
         try:
-            out[name] = round(_bench_backend(model, batches, edges), 1)
+            out[name] = round(_bench_backend(m, batches, edges), 1)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     return out

@@ -339,9 +339,13 @@ def collate_pallas(
     egroup = egroup or EGROUP
     if n_pad is not None:
         n_pad = ((n_pad + tile_r - 1) // tile_r) * tile_r
-    elif tile_r > 128:
+    else:
+        # tile multiples already quantize the shape; power-of-two
+        # escalation would pad 16386 -> 32768 nodes (2x kernel rows).
+        # Loaders that want few compiled shapes pass a fixed n_pad.
         spec = dataclasses.replace(spec or BucketSpec(),
-                                   node_multiple=tile_r)
+                                   node_multiple=tile_r,
+                                   power_of_two=False)
     batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                     spec=spec, y_is_node_level=y_is_node_level)
     coo = batch.adj
@@ -351,6 +355,44 @@ def collate_pallas(
         np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
         tile_r=tile_r, tile_e=tile_e, wblock=wblock, egroup=egroup)
     return batch.replace(adj=plan)
+
+
+def collate_banded(
+    graphs: Sequence[Graph],
+    v1: int,
+    vk: int,
+    n_pad: Optional[int] = None,
+    e_pad: Optional[int] = None,
+    g_pad: Optional[int] = None,
+    spec: Optional[BucketSpec] = None,
+    y_is_node_level: bool = False,
+    tile: Optional[int] = None,
+    halo: Optional[int] = None,
+) -> GraphBatch:
+    """COO collation whose adjacency is a banded window plan
+    (ops/banded.py) — the fastest backend for large locally-ordered
+    graphs (bounded bandwidth under the node order).  The halo auto-
+    sizes to the batch's actual edge reach; out-of-band edges spill to
+    a COO side list, so any graph runs — but bandwidth-ordered graphs
+    run at banded-matmul speed."""
+    from ..ops.banded import BANDED_TILE, build_banded
+
+    tile = tile or BANDED_TILE
+    if n_pad is not None:
+        n_pad = ((n_pad + tile - 1) // tile) * tile
+    else:
+        spec = dataclasses.replace(spec or BucketSpec(),
+                                   node_multiple=tile,
+                                   power_of_two=False)
+    batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                    spec=spec, y_is_node_level=y_is_node_level)
+    coo = batch.adj
+    em = np.asarray(coo.edge_mask)
+    adj = build_banded(
+        np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
+        np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
+        tile=tile, halo=halo)
+    return batch.replace(adj=adj)
 
 
 def _finish(graphs, adj, n_pad, g_pad, node_mask, node_graph_ids, graph_mask,

@@ -74,7 +74,7 @@ class DenseAdj:
         )
 
 
-Adjacency = Union[COOAdj, DenseAdj, "KHopPallasPlan"]
+Adjacency = Union[COOAdj, DenseAdj, "KHopPallasPlan", "BandedAdj"]
 
 
 def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
@@ -83,12 +83,13 @@ def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
 
 def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
     """(N, K) per-hop in-degree over live hop entries."""
+    from .banded import BandedAdj
     from .pallas_spmm import KHopPallasPlan
     from .sharded_adjacency import ShardedCOOAdj, sharded_degree
 
     if isinstance(adj, ShardedCOOAdj):
         return sharded_degree(adj, add_self_loop)
-    if isinstance(adj, KHopPallasPlan):
+    if isinstance(adj, (KHopPallasPlan, BandedAdj)):
         deg = adj.degree()
         return deg + 1.0 if add_self_loop else deg
     if isinstance(adj, COOAdj):
@@ -108,12 +109,13 @@ def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
 def union_in_degree(adj: Adjacency) -> jnp.ndarray:
     """(N,) count of union edges into each node (the reference's PyG mean
     denominator counts every union edge regardless of hop mask)."""
+    from .banded import BandedAdj
     from .pallas_spmm import KHopPallasPlan
     from .sharded_adjacency import ShardedCOOAdj, sharded_union_in_degree
 
     if isinstance(adj, ShardedCOOAdj):
         return sharded_union_in_degree(adj)
-    if isinstance(adj, KHopPallasPlan):
+    if isinstance(adj, (KHopPallasPlan, BandedAdj)):
         return adj.union_deg
     if isinstance(adj, COOAdj):
         return jax.ops.segment_sum(
@@ -165,6 +167,11 @@ def khop_aggregate_adj(
         return khop_spmm(x, table1, tablek, adj,
                          scale=scale, sender_scale=sender_scale,
                          aggr=aggr, hop_major=hop_major)
+    from .banded import BandedAdj, banded_khop_aggregate
+    if isinstance(adj, BandedAdj):
+        return banded_khop_aggregate(x, table1, tablek, adj,
+                                     scale=scale, sender_scale=sender_scale,
+                                     aggr=aggr, hop_major=hop_major)
     if hop_major and isinstance(adj, COOAdj):
         out = khop_aggregate_adj(
             adj, jnp.transpose(x, (1, 0, 2)), table1, tablek,

@@ -1,0 +1,275 @@
+"""Banded dense backend: k-hop aggregation for locally-ordered large graphs.
+
+Large sparse graphs with a narrow bandwidth under their node order
+(polymer chains, meshes, road networks, anything BFS/RCM-ordered) admit
+a formulation strictly cheaper than both dense n² tiles (infeasible at
+n ≫ 10³) and the one-hot Pallas kernel (which spends ~2·wblock·D MACs
+per edge routing arbitrary sparsity through the MXU): tile the receiver
+axis and contract each tile against a *static* halo window of the node
+table,
+
+    out[k, t·tr+i] = Σ_w live[k, t, i, w] · x[k, t·tr − h + w]
+
+one batched ``(tile, win) @ (win, D)`` masked matmul per (hop, tile) —
+pure XLA, no gathers, no scatters, no custom kernel.  The windows are
+built with reshape/slice tricks (pad-front / core / pad-back views), so
+the whole aggregation is einsum-shaped and differentiates cleanly.
+
+FLOP accounting vs the Pallas one-hot kernel on the polymer benchmark
+(n=8192·2, K=3, bandwidth ≤ 12): one-hot pays
+2·(wblock·D + tile_r·D/egroup) ≈ 98 kFLOP per union edge; banded pays
+2·win·D per *receiver row* (win = tile + 2h = 384 at h=64), i.e.
+~27 kFLOP per edge at 3.6 edges/row — and the halo h tracks the graph's
+actual bandwidth instead of a worst-case sender span.
+
+Edges outside the halo (long-range chords, cross-graph noise) spill to
+a COO side list added with one XLA gather + segment-sum, exactly like
+the Pallas kernel's hub spill — the backend degrades per edge, never
+per batch.
+
+Semantics are identical to every other backend
+(reference: layers/KPGIN.py:100,115-118): per hop k,
+out[i,k] = aggr_j live(attr[k,i,j]) · s_i (x[j,k] + emb_k(attr)), with
+the embedding part collapsed into precomputed `counts @ table` matmuls.
+Sender-side scales (KPGCN's factored norm) are not supported here —
+route GCN through the pallas/coo backends.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+BANDED_TILE = 256          # receiver rows per tile (matches pallas tile_r)
+HALO_ALIGN = 64            # halo rounds up to this (win stays MXU-friendly)
+DEFAULT_HALO_CAP = 512     # edges reaching further than this spill to COO
+
+
+@struct.dataclass
+class BandedAdj:
+    """Banded k-hop adjacency plan (host-built, device-resident).
+
+    ``live[k, t, i, w]`` is 1 iff the union edge from sender
+    ``t·tile − halo + w`` into receiver ``t·tile + i`` is live at hop k
+    and in-band.  counts1/countsk histogram the attr codes of ALL edges
+    (spill included), so the embedding sum never depends on the band.
+    """
+
+    live: jnp.ndarray               # (K, T, tile, win) int8
+    counts1: jnp.ndarray            # (N, V1) float32
+    countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) float32 | None
+    union_deg: jnp.ndarray          # (N,) float32
+    hop_deg: jnp.ndarray            # (N, K) float32
+    # out-of-band edges, hop-major (row = k·N + receiver), row-sorted
+    spill_senders: Optional[jnp.ndarray] = None   # (S,) int32, k·N + sender
+    spill_rows: Optional[jnp.ndarray] = None      # (S,) int32
+    spill_hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                   default=())
+    tile: int = struct.field(pytree_node=False, default=BANDED_TILE)
+    halo: int = struct.field(pytree_node=False, default=0)
+    n_hops: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def K(self) -> int:
+        return self.n_hops
+
+    @property
+    def n_nodes(self) -> int:
+        return self.live.shape[1] * self.tile
+
+    def degree(self) -> jnp.ndarray:
+        return self.hop_deg
+
+    def slice_hops(self, k: int) -> "BandedAdj":
+        if k == self.n_hops:
+            return self
+        n = self.n_nodes
+        sp_end = self.spill_hop_ends[k - 1] if self.spill_hop_ends else 0
+        return self.replace(
+            live=self.live[:k],
+            countsk=self.countsk[:, :k - 1] if k > 1 else None,
+            hop_deg=self.hop_deg[:, :k],
+            # spill is (hop, receiver)-sorted: hop prefix cut is static
+            spill_senders=(None if self.spill_senders is None or sp_end == 0
+                           else self.spill_senders[:sp_end]),
+            spill_rows=(None if self.spill_rows is None or sp_end == 0
+                        else self.spill_rows[:sp_end]),
+            spill_hop_ends=self.spill_hop_ends[:k],
+            n_hops=k,
+        )
+
+
+def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
+                 tile: int = BANDED_TILE, halo: Optional[int] = None,
+                 halo_cap: int = DEFAULT_HALO_CAP) -> BandedAdj:
+    """Host-side plan: per-hop live masks over static halo windows,
+    attr-code histograms, out-of-band spill.
+
+    ``halo`` is auto-sized to the edges' actual reach (rounded up to
+    HALO_ALIGN, capped at ``halo_cap`` and at ``tile``); edges reaching
+    further spill.  n_nodes must divide by ``tile``.
+    """
+    receivers = np.asarray(receivers)
+    senders = np.asarray(senders)
+    attr = np.asarray(attr)
+    K = attr.shape[1]
+    assert n_nodes % tile == 0, (n_nodes, tile)
+    T = n_nodes // tile
+
+    t_of = receivers // tile
+    # reach beyond the receiver's own tile, per edge (0 when the sender
+    # sits inside [t·tile, (t+1)·tile))
+    reach = np.maximum(t_of * tile - senders,
+                       senders - ((t_of + 1) * tile - 1))
+    reach = np.maximum(reach, 0)
+    live_any = (attr > 0).any(axis=1)
+    cap = min(halo_cap, tile)
+    if halo is None:
+        need = int(reach[live_any].max()) if live_any.any() else 0
+        halo = min(-(-need // HALO_ALIGN) * HALO_ALIGN, cap)
+    assert halo <= tile, (halo, tile)
+    win = tile + 2 * halo
+
+    in_band = reach <= halo
+    live = np.zeros((K, T, tile, win), dtype=np.int8)
+    sp_r, sp_s = [], []
+    for k in range(K):
+        lk = attr[:, k] > 0
+        kb = lk & in_band
+        i, j = receivers[kb], senders[kb]
+        # add (not assign): duplicate (i, j) pairs keep their multiplicity
+        np.add.at(live, (k, i // tile, i % tile,
+                         j - (i // tile) * tile + halo), 1)
+        out = lk & ~in_band
+        if out.any():
+            sp_r.append(k * n_nodes + receivers[out])
+            sp_s.append(k * n_nodes + senders[out])
+
+    spill_senders = spill_rows = None
+    spill_hop_ends: Tuple[int, ...] = ()
+    if sp_r:
+        rows = np.concatenate(sp_r).astype(np.int64)
+        cols = np.concatenate(sp_s).astype(np.int64)
+        order = np.argsort(rows, kind="stable")
+        rows, cols = rows[order], cols[order]
+        spill_rows = jnp.asarray(rows.astype(np.int32))
+        spill_senders = jnp.asarray(cols.astype(np.int32))
+        spill_hop_ends = tuple(
+            int(np.searchsorted(rows, (k + 1) * n_nodes))
+            for k in range(K))
+
+    counts1 = np.zeros((n_nodes, v1), np.float32)
+    np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
+    counts1[:, 0] = 0.0
+    countsk = None
+    if K > 1:
+        countsk = np.zeros((n_nodes, K - 1, vk), np.float32)
+        for k in range(1, K):
+            np.add.at(countsk[:, k - 1],
+                      (receivers, np.clip(attr[:, k], 0, vk - 1)), 1.0)
+        countsk[:, :, 0] = 0.0
+    union_deg = np.bincount(receivers, minlength=n_nodes).astype(np.float32)
+    hop_deg = np.stack(
+        [np.bincount(receivers[attr[:, k] > 0], minlength=n_nodes)
+         for k in range(K)], axis=1).astype(np.float32)
+
+    return BandedAdj(
+        live=jnp.asarray(live),
+        counts1=jnp.asarray(counts1),
+        countsk=jnp.asarray(countsk) if countsk is not None else None,
+        union_deg=jnp.asarray(union_deg),
+        hop_deg=jnp.asarray(hop_deg),
+        spill_senders=spill_senders,
+        spill_rows=spill_rows,
+        spill_hop_ends=spill_hop_ends,
+        tile=tile,
+        halo=halo,
+        n_hops=K,
+    )
+
+
+def _windows(xs: jnp.ndarray, tile: int, halo: int) -> jnp.ndarray:
+    """(K, N, D) -> (K, T, tile + 2·halo, D) overlapping halo windows,
+    built from three reshaped views (no gather): window w of tile t is
+    node row t·tile − halo + w, zero outside [0, N)."""
+    K, N, D = xs.shape
+    T = N // tile
+    core = xs.reshape(K, T, tile, D)
+    if halo == 0:
+        return core
+    xf = jnp.pad(xs, ((0, 0), (halo, 0), (0, 0)))[:, :N]
+    left = xf.reshape(K, T, tile, D)[:, :, :halo]
+    xb = jnp.pad(xs, ((0, 0), (0, tile), (0, 0)))[:, tile:tile + N]
+    right = xb.reshape(K, T, tile, D)[:, :, :halo]
+    return jnp.concatenate([left, core, right], axis=2)
+
+
+def banded_khop_aggregate(
+    x: jnp.ndarray,                     # (N, K, D) | (K, N, D) hop-major
+    table1: jnp.ndarray,
+    tablek: Optional[jnp.ndarray],
+    adj: BandedAdj,
+    *,
+    scale: Optional[jnp.ndarray] = None,          # (N, K) receiver-side
+    sender_scale: Optional[jnp.ndarray] = None,
+    aggr: str = "add",
+    hop_major: bool = False,
+) -> jnp.ndarray:
+    """Matches ops.adjacency's khop_aggregate_adj contract on the banded
+    plan.  Natively hop-major — (K, N, D) in and out runs with zero
+    layout copies; node-major callers pay one transpose each way."""
+    if sender_scale is not None:
+        raise ValueError(
+            "banded backend does not support sender-scaled aggregation "
+            "(KPGCN's factored norm); use the pallas or coo backend")
+    if not hop_major:
+        out = banded_khop_aggregate(
+            jnp.transpose(x, (1, 0, 2)), table1, tablek, adj,
+            scale=scale, aggr=aggr, hop_major=True)
+        return jnp.transpose(out, (1, 0, 2))
+
+    K, N, D = x.shape
+    assert K == adj.n_hops and N == adj.n_nodes, (x.shape, adj.n_hops,
+                                                  adj.n_nodes)
+    out_dtype = x.dtype
+    # MXU DEFAULT precision rounds f32 inputs to bf16 anyway; storing the
+    # windows in bf16 halves the window-build traffic (same convention as
+    # the pallas kernel).  CPU (tests) keeps f32 for exact oracles.
+    cdtype = (jnp.float32 if jax.default_backend() == "cpu"
+              else jnp.bfloat16)
+    xs = x.astype(cdtype)
+    xw = _windows(xs, adj.tile, adj.halo)            # (K, T, win, D)
+    live = adj.live.astype(cdtype)
+    out = jax.lax.dot_general(
+        live, xw,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).reshape(K, N, D)
+
+    if adj.spill_senders is not None:
+        xf = xs.reshape(K * N, D)
+        gathered = xf[adj.spill_senders].astype(out.dtype)
+        out = out.reshape(K * N, D) + jax.ops.segment_sum(
+            gathered, adj.spill_rows, num_segments=K * N,
+            indices_are_sorted=True)
+        out = out.reshape(K, N, D)
+
+    hi = jax.lax.Precision.HIGHEST     # counts are exact integers
+    t1 = table1.at[0].set(0.0)
+    parts = [jnp.matmul(adj.counts1, t1, precision=hi)]
+    if tablek is not None and K > 1:
+        tk = tablek.at[0].set(0.0)
+        parts += [jnp.matmul(adj.countsk[:, k - 1], tk, precision=hi)
+                  for k in range(1, K)]
+    out = out + jnp.stack(parts, axis=0).astype(out.dtype)
+
+    if scale is not None:
+        out = out * jnp.transpose(scale)[..., None].astype(out.dtype)
+    if aggr == "mean":
+        deg = jnp.maximum(adj.union_deg, 1.0)[None, :, None]
+        out = out / deg.astype(out.dtype)
+    elif aggr != "add":
+        raise ValueError(f"banded backend does not support aggr={aggr!r}")
+    return out.astype(out_dtype)

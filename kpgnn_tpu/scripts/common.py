@@ -97,11 +97,12 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--dense", action="store_true",
                    help="shorthand for --backend dense")
     p.add_argument("--backend", type=str, default="coo",
-                   choices=("coo", "dense", "pallas"),
+                   choices=("coo", "dense", "pallas", "banded"),
                    help="adjacency backend: dense MXU tiles (small "
-                        "graphs), COO segment-sum (general), or the "
+                        "graphs), COO segment-sum (general), the "
                         "Pallas kernel plan (sparse, sum-aggregating "
-                        "families)")
+                        "families), or banded windows (large locally-"
+                        "ordered graphs; out-of-band edges spill)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
     p.add_argument("--matmul_precision", type=str,

@@ -18,8 +18,8 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..graph.batch import (BucketSpec, GraphBatch, collate, collate_dense,
-                           collate_pallas)
+from ..graph.batch import (BucketSpec, GraphBatch, collate, collate_banded,
+                           collate_dense, collate_pallas)
 from ..graph.data import Graph
 
 
@@ -104,9 +104,9 @@ class GraphLoader:
         self.mode = mode
         spec = spec or BucketSpec()
 
-        if mode in ("dense", "pallas") and (v1 is None or vk is None):
+        if mode in ("dense", "pallas", "banded") and (v1 is None or vk is None):
             raise ValueError(f"{mode} mode needs v1/vk vocab sizes")
-        if mode == "pallas":
+        if mode in ("pallas", "banded"):
             self.v1, self.vk = v1, vk
             self.pallas_geometry = pallas_geometry or (None, None, None)
         if mode == "dense":
@@ -152,6 +152,11 @@ class GraphLoader:
                 e_pad=self.e_pad, g_pad=self.g_pad,
                 y_is_node_level=self.y_is_node_level,
                 tile_r=tr, wblock=wb, egroup=eg)
+        if self.mode == "banded":
+            return collate_banded(
+                batch_graphs, v1=self.v1, vk=self.vk, n_pad=self.n_pad,
+                e_pad=self.e_pad, g_pad=self.g_pad,
+                y_is_node_level=self.y_is_node_level)
         return collate(
             batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
             g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

@@ -1,0 +1,201 @@
+"""Banded window backend vs the COO oracle (ops/banded.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kpgnn_tpu.ops.banded import (BandedAdj, banded_khop_aggregate,
+                                  build_banded)
+
+
+def oracle(senders, receivers, attr, x, t1, tk, scale=None, aggr="add"):
+    t1 = t1.copy()
+    t1[0] = 0
+    if tk is not None:
+        tk = tk.copy()
+        tk[0] = 0
+        emb = np.concatenate([t1[attr[:, :1]], tk[attr[:, 1:]]], axis=1)
+    else:
+        emb = t1[attr[:, :1]]
+    msgs = (attr > 0)[..., None] * x[senders] + emb
+    out = np.zeros_like(x)
+    np.add.at(out, receivers, msgs)
+    if scale is not None:
+        out = out * scale[..., None]
+    if aggr == "mean":
+        deg = np.bincount(receivers, minlength=x.shape[0]).astype(np.float32)
+        out = out / np.maximum(deg, 1.0)[:, None, None]
+    return out
+
+
+def banded_case(seed=0, n=768, K=3, D=8, V1=5, Vk=7, tile=256,
+                long_edges=0):
+    """Chain + short chords (banded under the node order), plus optional
+    long-range edges that must spill."""
+    rng = np.random.default_rng(seed)
+    src = np.arange(n - 1)
+    chords = rng.integers(0, n - 20, n // 3)
+    senders = np.concatenate([src, chords])
+    receivers = np.concatenate([src + 1, chords + rng.integers(2, 19,
+                                                               n // 3)])
+    if long_edges:
+        ls = rng.integers(0, n // 4, long_edges)
+        lr = ls + n // 2
+        senders = np.concatenate([senders, ls])
+        receivers = np.concatenate([receivers, lr])
+    order = np.argsort(receivers, kind="stable")
+    senders = senders[order].astype(np.int32)
+    receivers = receivers[order].astype(np.int32)
+    e = len(senders)
+    attr = rng.integers(0, Vk, size=(e, K)).astype(np.int32)
+    attr[:, 0] = rng.integers(0, V1, e)
+    x = rng.normal(size=(n, K, D)).astype(np.float32)
+    t1 = rng.normal(size=(V1, D)).astype(np.float32)
+    tk = rng.normal(size=(Vk, D)).astype(np.float32)
+    return senders, receivers, attr, x, t1, tk
+
+
+def test_banded_matches_oracle_add():
+    s, r, a, x, t1, tk = banded_case()
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0])
+    assert adj.spill_senders is None          # banded graph: no spill
+    assert adj.halo == 64                     # reach <= 18 rounds to 64
+    out = banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                                jnp.asarray(tk), adj)
+    assert np.allclose(np.asarray(out), oracle(s, r, a, x, t1, tk),
+                       atol=1e-4)
+
+
+def test_banded_hop_major_native():
+    s, r, a, x, t1, tk = banded_case(seed=3)
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0])
+    xh = jnp.asarray(x.transpose(1, 0, 2))
+    out = banded_khop_aggregate(xh, jnp.asarray(t1), jnp.asarray(tk), adj,
+                                hop_major=True)
+    assert out.shape == xh.shape
+    assert np.allclose(np.asarray(out).transpose(1, 0, 2),
+                       oracle(s, r, a, x, t1, tk), atol=1e-4)
+
+
+def test_banded_scale_and_mean():
+    s, r, a, x, t1, tk = banded_case(seed=5)
+    n, K = x.shape[0], x.shape[1]
+    adj = build_banded(r, s, a, n, t1.shape[0], tk.shape[0])
+    rng = np.random.default_rng(0)
+    sc = rng.uniform(0.5, 2.0, size=(n, K)).astype(np.float32)
+    out = banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                                jnp.asarray(tk), adj,
+                                scale=jnp.asarray(sc))
+    assert np.allclose(np.asarray(out), oracle(s, r, a, x, t1, tk, sc),
+                       atol=1e-4)
+    outm = banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                                 jnp.asarray(tk), adj, aggr="mean")
+    assert np.allclose(np.asarray(outm),
+                       oracle(s, r, a, x, t1, tk, aggr="mean"), atol=1e-4)
+
+
+def test_banded_spill_long_edges():
+    s, r, a, x, t1, tk = banded_case(seed=7, long_edges=40)
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0],
+                       halo=64)
+    assert adj.spill_senders is not None
+    out = banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                                jnp.asarray(tk), adj)
+    assert np.allclose(np.asarray(out), oracle(s, r, a, x, t1, tk),
+                       atol=1e-4)
+
+
+def test_banded_slice_hops():
+    s, r, a, x, t1, tk = banded_case(seed=9, long_edges=16)
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0],
+                       halo=64)
+    for k in (1, 2):
+        sub = adj.slice_hops(k)
+        assert sub.K == k
+        out = banded_khop_aggregate(
+            jnp.asarray(x[:, :k]), jnp.asarray(t1),
+            jnp.asarray(tk) if k > 1 else None, sub)
+        assert np.allclose(np.asarray(out),
+                           oracle(s, r, a[:, :k], x[:, :k], t1,
+                                  tk if k > 1 else None), atol=1e-4), k
+
+
+def test_banded_gradients_match_coo():
+    from kpgnn_tpu.ops.adjacency import COOAdj, khop_aggregate_adj
+
+    s, r, a, x, t1, tk = banded_case(seed=11, long_edges=8)
+    n = x.shape[0]
+    adj = build_banded(r, s, a, n, t1.shape[0], tk.shape[0], halo=64)
+    coo = COOAdj(senders=jnp.asarray(s), receivers=jnp.asarray(r),
+                 edge_attr=jnp.asarray(a),
+                 edge_mask=jnp.ones(len(s), bool), n_nodes=n)
+
+    def loss(backend):
+        def f(x, t1, tk):
+            out = khop_aggregate_adj(backend, x, t1, tk)
+            return jnp.sum(out * jnp.cos(out))
+        return f
+
+    args = (jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk))
+    gb = jax.grad(loss(adj), argnums=(0, 1, 2))(*args)
+    gc = jax.grad(loss(coo), argnums=(0, 1, 2))(*args)
+    for b, c in zip(gb, gc):
+        assert np.allclose(np.asarray(b), np.asarray(c), atol=1e-4)
+
+
+def test_banded_rejects_sender_scale():
+    s, r, a, x, t1, tk = banded_case(seed=13)
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0])
+    with pytest.raises(ValueError, match="sender-scaled"):
+        banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                              jnp.asarray(tk), adj,
+                              sender_scale=jnp.ones(x.shape[:2]))
+
+
+def test_banded_degree_helpers():
+    from kpgnn_tpu.ops.adjacency import degree, union_in_degree
+
+    s, r, a, x, t1, tk = banded_case(seed=15, long_edges=12)
+    n, K = x.shape[0], x.shape[1]
+    adj = build_banded(r, s, a, n, t1.shape[0], tk.shape[0], halo=64)
+    deg = np.zeros((n, K), np.float32)
+    for k in range(K):
+        np.add.at(deg[:, k], r[a[:, k] > 0], 1.0)
+    assert np.array_equal(np.asarray(degree(adj)), deg)
+    assert np.array_equal(np.asarray(union_in_degree(adj)),
+                          np.bincount(r, minlength=n))
+
+
+def test_banded_layer_matches_coo():
+    """KPGINConv end to end: banded == COO, values and shapes."""
+    from kpgnn_tpu.graph.batch import collate, collate_banded
+    from kpgnn_tpu.graph.data import Graph
+    from kpgnn_tpu.nn.layers import KPGINConv
+
+    rng = np.random.default_rng(21)
+    K, V1, VK = 2, 4, 8
+    gs = []
+    for n in (60, 45):
+        src = np.arange(n - 1)
+        ei = np.stack([np.concatenate([src, src + 1]),
+                       np.concatenate([src + 1, src])])
+        e = ei.shape[1]
+        ea = rng.integers(1, VK, size=(e, K)).astype(np.int32)
+        ea[:, 0] = rng.integers(1, V1, e)
+        gs.append(Graph(num_nodes=n, edge_index=ei.astype(np.int32),
+                        edge_attr=ea,
+                        x=rng.normal(size=(n, 12)).astype(np.float32),
+                        y=np.zeros(1, np.float32),
+                        pe_attr=rng.integers(0, VK, size=(n, K - 1))
+                        .astype(np.int32)))
+    cb = collate_banded(gs, v1=V1, vk=VK)
+    cc = collate(gs, n_pad=cb.n_pad)
+    conv = KPGINConv(hidden_size=12, K=K, num_hop1_edge=V1 - 2,
+                     num_pe=VK - 2)
+    v = conv.init(jax.random.PRNGKey(0), cc.x, cc.adj,
+                  cc.pe_attr[:, :K - 1], None, cc.node_mask)
+    out_c = conv.apply(v, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None,
+                       cc.node_mask)
+    out_b = conv.apply(v, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None,
+                       cb.node_mask)
+    assert np.allclose(np.asarray(out_b), np.asarray(out_c), atol=1e-4)
