@@ -71,6 +71,11 @@ class BandedAdj:
     tile: int = struct.field(pytree_node=False, default=BANDED_TILE)
     halo: int = struct.field(pytree_node=False, default=0)
     n_hops: int = struct.field(pytree_node=False, default=1)
+    # sender-table rows when different from the receiver space (the
+    # node-sharded halo-extended table); 0 means square.  Windows only
+    # ever cover the leading [0, n_nodes) block — senders beyond it (the
+    # halo rows) always travel via the spill list.
+    n_cols_static: int = struct.field(pytree_node=False, default=0)
 
     @property
     def K(self) -> int:
@@ -80,23 +85,35 @@ class BandedAdj:
     def n_nodes(self) -> int:
         return self.live.shape[1] * self.tile
 
+    @property
+    def n_cols(self) -> int:
+        return self.n_cols_static or self.n_nodes
+
     def degree(self) -> jnp.ndarray:
         return self.hop_deg
 
     def slice_hops(self, k: int) -> "BandedAdj":
         if k == self.n_hops:
             return self
-        n = self.n_nodes
-        sp_end = self.spill_hop_ends[k - 1] if self.spill_hop_ends else 0
+        if self.spill_senders is not None and not self.spill_hop_ends:
+            # stacked (node-sharded) plans have ragged per-shard spill, so
+            # no static hop cut points: keep the whole list — rows of
+            # hops >= k land outside [0, k*N) and segment_sum drops them
+            # (their clamped gathers never land anywhere)
+            sp_s, sp_r = self.spill_senders, self.spill_rows
+        else:
+            sp_end = (self.spill_hop_ends[k - 1]
+                      if self.spill_hop_ends else 0)
+            sp_s = (None if self.spill_senders is None or sp_end == 0
+                    else self.spill_senders[:sp_end])
+            sp_r = (None if self.spill_rows is None or sp_end == 0
+                    else self.spill_rows[:sp_end])
         return self.replace(
             live=self.live[:k],
             countsk=self.countsk[:, :k - 1] if k > 1 else None,
             hop_deg=self.hop_deg[:, :k],
-            # spill is (hop, receiver)-sorted: hop prefix cut is static
-            spill_senders=(None if self.spill_senders is None or sp_end == 0
-                           else self.spill_senders[:sp_end]),
-            spill_rows=(None if self.spill_rows is None or sp_end == 0
-                        else self.spill_rows[:sp_end]),
+            spill_senders=sp_s,
+            spill_rows=sp_r,
             spill_hop_ends=self.spill_hop_ends[:k],
             n_hops=k,
         )
@@ -104,13 +121,19 @@ class BandedAdj:
 
 def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                  tile: int = BANDED_TILE, halo: Optional[int] = None,
-                 halo_cap: int = DEFAULT_HALO_CAP) -> BandedAdj:
+                 halo_cap: int = DEFAULT_HALO_CAP,
+                 n_cols: Optional[int] = None) -> BandedAdj:
     """Host-side plan: per-hop live masks over static halo windows,
     attr-code histograms, out-of-band spill.
 
     ``halo`` is auto-sized to the edges' actual reach (rounded up to
     HALO_ALIGN, capped at ``halo_cap`` and at ``tile``); edges reaching
     further spill.  n_nodes must divide by ``tile``.
+
+    ``n_cols``: sender-table rows when larger than the receiver space
+    (the node-sharded halo-extended table [owned | halo rows]); senders
+    at rows >= n_nodes sit outside every window and spill, which is
+    exactly the O(boundary) cross-shard edge set.
     """
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
@@ -118,6 +141,7 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     K = attr.shape[1]
     assert n_nodes % tile == 0, (n_nodes, tile)
     T = n_nodes // tile
+    cn = n_cols if n_cols is not None else n_nodes
 
     t_of = receivers // tile
     # reach beyond the receiver's own tile, per edge (0 when the sender
@@ -128,12 +152,13 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     live_any = (attr > 0).any(axis=1)
     cap = min(halo_cap, tile)
     if halo is None:
-        need = int(reach[live_any].max()) if live_any.any() else 0
+        windowable = live_any & (senders < n_nodes)
+        need = int(reach[windowable].max()) if windowable.any() else 0
         halo = min(-(-need // HALO_ALIGN) * HALO_ALIGN, cap)
     assert halo <= tile, (halo, tile)
     win = tile + 2 * halo
 
-    in_band = reach <= halo
+    in_band = (reach <= halo) & (senders < n_nodes)
     live = np.zeros((K, T, tile, win), dtype=np.int8)
     sp_r, sp_s = [], []
     for k in range(K):
@@ -146,7 +171,7 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         out = lk & ~in_band
         if out.any():
             sp_r.append(k * n_nodes + receivers[out])
-            sp_s.append(k * n_nodes + senders[out])
+            sp_s.append(k * cn + senders[out])
 
     spill_senders = spill_rows = None
     spill_hop_ends: Tuple[int, ...] = ()
@@ -188,6 +213,7 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         tile=tile,
         halo=halo,
         n_hops=K,
+        n_cols_static=(0 if cn == n_nodes else cn),
     )
 
 
@@ -231,9 +257,10 @@ def banded_khop_aggregate(
             scale=scale, aggr=aggr, hop_major=True)
         return jnp.transpose(out, (1, 0, 2))
 
-    K, N, D = x.shape
-    assert K == adj.n_hops and N == adj.n_nodes, (x.shape, adj.n_hops,
-                                                  adj.n_nodes)
+    K, cn, D = x.shape                 # cn >= N on halo-extended tables
+    N = adj.n_nodes
+    assert K == adj.n_hops and cn == adj.n_cols, (x.shape, adj.n_hops,
+                                                  adj.n_cols)
     out_dtype = x.dtype
     # MXU DEFAULT precision rounds f32 inputs to bf16 anyway; storing the
     # windows in bf16 halves the window-build traffic (same convention as
@@ -241,7 +268,7 @@ def banded_khop_aggregate(
     cdtype = (jnp.float32 if jax.default_backend() == "cpu"
               else jnp.bfloat16)
     xs = x.astype(cdtype)
-    xw = _windows(xs, adj.tile, adj.halo)            # (K, T, win, D)
+    xw = _windows(xs[:, :N], adj.tile, adj.halo)     # (K, T, win, D)
     live = adj.live.astype(cdtype)
     out = jax.lax.dot_general(
         live, xw,
@@ -249,7 +276,7 @@ def banded_khop_aggregate(
         preferred_element_type=jnp.float32).reshape(K, N, D)
 
     if adj.spill_senders is not None:
-        xf = xs.reshape(K * N, D)
+        xf = xs.reshape(K * cn, D)
         gathered = xf[adj.spill_senders].astype(out.dtype)
         out = out.reshape(K * N, D) + jax.ops.segment_sum(
             gathered, adj.spill_rows, num_segments=K * N,

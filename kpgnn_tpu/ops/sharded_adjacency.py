@@ -69,6 +69,13 @@ class ShardedCOOAdj:
     # hop windows the model requests via slice_hops (GNNPlus sliding
     # windows); without it a sliced view falls back to XLA segment-sum
     plan_by_k: Optional[dict] = None
+    # optional stacked per-shard BANDED plans (ops/banded.py) over the
+    # halo-extended sender table: in-shard banded edges run as window
+    # matmuls, every cross-shard (halo) edge travels the plan's spill
+    # list — O(boundary) of them by construction.  Unlike the pallas
+    # plans, banded plans hop-slice statically, so GNNPlus windows keep
+    # the fast path with no plan_by_k copies.
+    banded: Optional[object] = None
 
     @property
     def K(self) -> int:
@@ -85,13 +92,16 @@ class ShardedCOOAdj:
     def slice_hops(self, k: int) -> "ShardedCOOAdj":
         if k >= self.K:
             return self
-        # the full-K stacked plans are not hop-sliceable in place (per-
-        # shard hop offsets differ, so the slice points are not static);
-        # windows pre-built by attach_pallas_plans(hop_windows=...) keep
-        # the kernel, anything else falls back to XLA segment-sum
+        # the full-K stacked pallas plans are not hop-sliceable in place
+        # (per-shard hop offsets differ, so the slice points are not
+        # static); windows pre-built by attach_pallas_plans(hop_windows=
+        # ...) keep the kernel, anything else falls back to XLA
+        # segment-sum.  Banded plans DO slice statically (live[:k]; the
+        # padded spill list self-drops via out-of-range rows).
         sub = self.plan_by_k.get(k) if self.plan_by_k else None
         return self.replace(edge_attr=self.edge_attr[..., :k], plan=sub,
-                            plan_by_k=None)
+                            plan_by_k=None,
+                            banded=_slice_banded(self.banded, k))
 
     def local(self) -> "ShardedCOOAdj":
         """Drop the (split-to-1) leading shard axis inside shard_map."""
@@ -108,7 +118,9 @@ class ShardedCOOAdj:
             # local() installs a correctly-shaped (non-stacked) plan
             plan_by_k=(None if self.plan_by_k is None else {
                 k: jax.tree.map(lambda a: a[0], p)
-                for k, p in self.plan_by_k.items()}))
+                for k, p in self.plan_by_k.items()}),
+            banded=(None if self.banded is None
+                    else jax.tree.map(lambda a: a[0], self.banded)))
 
     # --- accounting -------------------------------------------------
     def boundary_total(self) -> int:
@@ -123,6 +135,25 @@ class ShardedCOOAdj:
         """What the replicate-and-psum design would move per device:
         a reduce-scatter + all-gather of the full (N, K, D) output."""
         return 2 * self.n_nodes * K * D
+
+
+def _slice_banded(b, k: int):
+    """Hop-slice a (possibly shard-stacked) banded plan.  Stacked plans
+    carry a leading shard axis on every array field, so the hop axis
+    shifts by one; the padded spill list is kept whole — rows of hops
+    >= k fall outside [0, k*n_local) and segment_sum drops them."""
+    if b is None:
+        return None
+    if b.live.ndim == 4:                # already local
+        return b.slice_hops(k)
+    if k == b.n_hops:
+        return b
+    return b.replace(
+        live=b.live[:, :k],
+        countsk=b.countsk[:, :, :k - 1] if k > 1 else None,
+        hop_deg=b.hop_deg[:, :, :k],
+        spill_hop_ends=(),
+        n_hops=k)
 
 
 def node_axis(adj_or_batch) -> Optional[str]:
@@ -173,6 +204,18 @@ def sharded_khop_aggregate(
         x_ext, ss_ext = ext[..., :-1], ext[..., -1]     # (n_ext, K, D), (n_ext, K)
     else:
         x_ext, ss_ext = ext, None
+
+    if d.banded is not None and ss_ext is None:
+        # local aggregation through the banded window matmuls: in-shard
+        # edges ride the masked-matmul path, cross-shard (halo) edges
+        # travel the plan's spill list — both read the same extended
+        # table the exchange just built
+        from .banded import banded_khop_aggregate
+
+        pad = d.banded.n_cols - x_ext.shape[0]
+        xp = jnp.pad(x_ext, ((0, pad), (0, 0), (0, 0)))
+        return banded_khop_aggregate(xp, table1, tablek, d.banded,
+                                     scale=scale, aggr=aggr)
 
     if d.plan is not None:
         # local aggregation through the fused Pallas SpMM kernel: the

@@ -243,17 +243,84 @@ def attach_pallas_plans(adj: ShardedCOOAdj, v1: int, vk: int,
                        plan_by_k=plan_by_k)
 
 
+def attach_banded_plans(adj: ShardedCOOAdj, v1: int, vk: int,
+                        tile: Optional[int] = None,
+                        halo: Optional[int] = None) -> ShardedCOOAdj:
+    """Attach stacked per-shard banded plans (ops/banded.py) so the
+    node-sharded aggregation runs as window matmuls after the halo
+    exchange.  In-shard edges of a bandwidth-ordered graph land in the
+    windows; every cross-shard edge (sender remapped to a halo row
+    >= n_local) spills to the plan's COO side list — O(boundary) edges.
+    Banded plans hop-slice statically, so GNNPlus windows keep the fast
+    path with no extra per-window plans."""
+    import math
+
+    from ..ops.banded import BANDED_TILE, build_banded
+
+    if tile is None:
+        # largest power-of-two-ish divisor of n_local up to the default
+        tile = math.gcd(adj.n_local, BANDED_TILE)
+    if adj.n_local % tile:
+        raise ValueError(
+            f"n_local={adj.n_local} must divide by tile={tile} for the "
+            "sharded banded path (collate with node_multiple = "
+            "n_shards * tile)")
+    n_ext = adj.n_local + adj.n_shards * adj.halo
+    S = np.asarray(adj.senders)
+    R = np.asarray(adj.receivers)
+    A = np.asarray(adj.edge_attr)
+    M = np.asarray(adj.edge_mask)
+    K = adj.K
+
+    def build(i, h):
+        m = M[i]
+        return build_banded(R[i][m], S[i][m], A[i][m], adj.n_local, v1,
+                            vk, tile=tile, halo=h, n_cols=n_ext)
+
+    plans = [build(i, halo) for i in range(adj.n_shards)]
+    h = max(p.halo for p in plans)
+    plans = [p if p.halo == h else build(i, h)
+             for i, p in enumerate(plans)]
+    # spill lists are ragged across shards: pad to the common length with
+    # dropped entries (row -> one past the output — segment_sum ignores
+    # out-of-range rows; the clamped sender gather then lands nowhere)
+    sl = max((0 if p.spill_senders is None else int(p.spill_senders.shape[0]))
+             for p in plans)
+    if sl:
+        for j, p in enumerate(plans):
+            cur = (0 if p.spill_senders is None
+                   else int(p.spill_senders.shape[0]))
+            base_s = (p.spill_senders if p.spill_senders is not None
+                      else jnp.zeros((0,), jnp.int32))
+            base_r = (p.spill_rows if p.spill_rows is not None
+                      else jnp.zeros((0,), jnp.int32))
+            plans[j] = p.replace(
+                spill_senders=jnp.concatenate(
+                    [base_s, jnp.zeros((sl - cur,), jnp.int32)]),
+                spill_rows=jnp.concatenate(
+                    [base_r, jnp.full((sl - cur,), K * adj.n_local,
+                                      jnp.int32)]),
+                spill_hop_ends=())
+    return adj.replace(banded=jax.tree.map(lambda *xs: jnp.stack(xs),
+                                           *plans))
+
+
 def partition_batch(batch: GraphBatch, n_shards: int,
                     axis: str = "node",
-                    pallas: Optional[dict] = None) -> GraphBatch:
+                    pallas: Optional[dict] = None,
+                    banded: Optional[dict] = None) -> GraphBatch:
     """Partition a collated batch for the node-sharded training path.
 
     pallas: optional {"v1": ..., "vk": ..., [geometry keys]} — when given,
     per-shard Pallas plans are attached so the local aggregation runs on
-    the SpMM kernel (ops/sharded_adjacency.py)."""
+    the SpMM kernel (ops/sharded_adjacency.py).
+    banded: optional {"v1": ..., "vk": ..., ["tile"/"halo"]} — per-shard
+    banded window plans instead (large bandwidth-ordered graphs)."""
     adj = partition_adj(batch.adj, n_shards, axis)
     if pallas is not None:
         adj = attach_pallas_plans(adj, **pallas)
+    if banded is not None:
+        adj = attach_banded_plans(adj, **banded)
     return batch.replace(adj=adj)
 
 
@@ -273,7 +340,8 @@ def batch_pspecs(batch: GraphBatch, axis: str = "node",
     adj = batch.adj.replace(
         senders=node, receivers=node, edge_attr=node, edge_mask=node,
         send_rows=node, plan=stacked(batch.adj.plan),
-        plan_by_k=stacked(batch.adj.plan_by_k))
+        plan_by_k=stacked(batch.adj.plan_by_k),
+        banded=stacked(batch.adj.banded))
     return batch.replace(
         x=node, node_mask=node, node_graph_ids=node,
         pe_attr=ns(batch.pe_attr),
@@ -393,10 +461,12 @@ def make_sharded_eval_step(model, mesh: Mesh, loss: str = "l1",
 
 
 def partition_loader(loader, n_shards: int, axis: str = "node",
-                     pallas: Optional[dict] = None):
+                     pallas: Optional[dict] = None,
+                     banded: Optional[dict] = None):
     """Wrap a GraphLoader stream, partitioning every batch."""
     for b in loader:
-        yield partition_batch(b, n_shards, axis, pallas=pallas)
+        yield partition_batch(b, n_shards, axis, pallas=pallas,
+                              banded=banded)
 
 
 class PartitionedLoader:
@@ -405,17 +475,18 @@ class PartitionedLoader:
     once and replayed; shuffled ones re-partition each epoch."""
 
     def __init__(self, loader, n_shards: int, axis: str = "node",
-                 pallas: Optional[dict] = None):
+                 pallas: Optional[dict] = None,
+                 banded: Optional[dict] = None):
         self.loader, self.n_shards, self.axis = loader, n_shards, axis
-        self.pallas = pallas
+        self.pallas, self.banded = pallas, banded
         self._cache = None
 
     def __iter__(self):
         if getattr(self.loader, "shuffle", True):
             return partition_loader(self.loader, self.n_shards, self.axis,
-                                    self.pallas)
+                                    self.pallas, self.banded)
         if self._cache is None:
             self._cache = list(
                 partition_loader(self.loader, self.n_shards, self.axis,
-                                 self.pallas))
+                                 self.pallas, self.banded))
         return iter(self._cache)

@@ -219,9 +219,13 @@ def prepare(raw_graphs, args, cache_name: str):
 
 
 def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
-    """Loader mode kwargs; dense/pallas need the model vocab sizes."""
+    """Loader mode kwargs; dense/pallas/banded need the model vocab
+    sizes.  Under --parallel node the pallas/banded plans attach at
+    partition time instead (parallel_kwargs), so the loader collates
+    plain COO batches."""
     backend = "dense" if getattr(args, "dense", False) else args.backend
-    if backend == "coo":
+    if backend == "coo" or (getattr(args, "parallel", None) == "node"
+                            and backend in ("pallas", "banded")):
         return {"mode": "coo"}
     return {
         "mode": backend,
@@ -243,10 +247,24 @@ def maybe_mesh(args):
                      axis_names=("node" if mode == "node" else "data",))
 
 
-def parallel_kwargs(args):
-    """Trainer kwargs for --parallel / --resident execution modes."""
+def parallel_kwargs(args, mcfg: Optional[ModelConfig] = None):
+    """Trainer kwargs for --parallel / --resident execution modes.
+
+    With --parallel node and --backend pallas|banded, the fast local-
+    aggregation plans attach at partition time (the loader collates COO;
+    see loader_kwargs), so the Trainer gets the plan spec here."""
     kw = {"resident": getattr(args, "resident", "auto")}
     mode = getattr(args, "parallel", None)
     if mode:
         kw.update(mesh=maybe_mesh(args), parallel_mode=mode)
+        backend = ("dense" if getattr(args, "dense", False)
+                   else getattr(args, "backend", "coo"))
+        if mode == "node" and backend in ("pallas", "banded"):
+            if mcfg is None:
+                raise ValueError(
+                    "--parallel node with --backend pallas/banded needs "
+                    "the model config for plan vocab sizes")
+            kw["partition_plans"] = {backend: {
+                "v1": mcfg.num_hop1_edge + 2,
+                "vk": mcfg.max_pe_num + 2}}
     return kw

@@ -54,7 +54,7 @@ def main(argv=None):
         el = GraphLoader(prepped["test"], args.batch_size, **lk)
         trainer = Trainer(model, train_config(args, "l1", stop_at_min_lr=True),
                           loss="l1", metric_mode="min", logger=logger,
-                          **parallel_kwargs(args))
+                          **parallel_kwargs(args, mcfg))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + run))
         maes.append(res["best_test"].get("loss", float("nan")))

@@ -53,7 +53,7 @@ def main(argv=None):
         trainer = Trainer(model, train_config(args, "cross_entropy"),
                           loss="cross_entropy", metric_mode="max",
                           use_scheduler=False, logger=logger,
-                          **parallel_kwargs(args))
+                          **parallel_kwargs(args, mcfg))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + fold))
         acc = res["best_test"].get("accuracy", 0.0)

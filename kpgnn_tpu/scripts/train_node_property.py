@@ -53,7 +53,7 @@ def main(argv=None):
         trainer = Trainer(model, train_config(args, "mse", stop_at_min_lr=True),
                           loss="mse", node_level=True, metric_mode="min",
                           logger=logger,
-                          **parallel_kwargs(args))
+                          **parallel_kwargs(args, mcfg))
         _, res = trainer.fit(tl, vl, el,
                              rng=jax.random.PRNGKey(args.seed + run))
         mse = res["best_test"].get("loss", float("nan"))

@@ -92,7 +92,7 @@ def main(argv=None):
     trainer = Trainer(model, train_config(args, "mse", stop_at_min_lr=True),
                       loss="mse", metric_mode="min", eval_metric="mae",
                       logger=logger,
-                      **parallel_kwargs(args))
+                      **parallel_kwargs(args, mcfg))
     _, res = trainer.fit(tl, vl, el, rng=jax.random.PRNGKey(args.seed))
     # reference log line: MAE in dataset units, /std (normalized), and
     # /conversion back to original units when training post-conversion

@@ -50,7 +50,7 @@ def main(argv=None):
                       loss="cross_entropy", metric_mode="max",
                       use_scheduler=False,
                       bn_train_mode_eval=True, logger=logger,
-                      **parallel_kwargs(args))
+                      **parallel_kwargs(args, mcfg))
     _, res = trainer.fit(loader, eval_loader, eval_loader,
                          rng=jax.random.PRNGKey(args.seed))
     acc = res["best_val"]

@@ -288,6 +288,11 @@ class Trainer:
                                         # single-device dense loaders whose
                                         # store fits KPGNN_RESIDENT_MAX_BYTES
                                         # (default 4 GiB)
+    partition_plans: Optional[dict] = None  # node mode: {"pallas": {...}} or
+                                        # {"banded": {...}} kwargs forwarded
+                                        # to partition_batch so the local
+                                        # aggregation runs on the fast
+                                        # backend after the halo exchange
 
     def log(self, msg):
         if self.logger:
@@ -428,7 +433,8 @@ class Trainer:
                 self.model, self.mesh, self.loss, self.node_level,
                 self.eval_metric, axis=axis,
                 bn_train_mode=self.bn_train_mode_eval)
-            wrap_eval_loader = lambda l: PartitionedLoader(l, n_dev, axis)
+            wrap_eval_loader = lambda l: PartitionedLoader(
+                l, n_dev, axis, **(self.partition_plans or {}))
         elif self.mesh is not None:
             from ..parallel.dp import (ShardStream, make_parallel_eval_step,
                                        make_parallel_train_step)
@@ -508,8 +514,9 @@ class Trainer:
             else:
                 if self.mesh is not None and self.parallel_mode == "node":
                     from ..parallel.partition import partition_loader
-                    stream = partition_loader(train_loader, n_dev,
-                                              self.mesh.axis_names[0])
+                    stream = partition_loader(
+                        train_loader, n_dev, self.mesh.axis_names[0],
+                        **(self.partition_plans or {}))
                 elif self.mesh is not None:
                     from ..parallel.dp import shard_loader
                     stream = shard_loader(train_loader, n_dev)

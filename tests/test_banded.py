@@ -166,6 +166,116 @@ def test_banded_degree_helpers():
                           np.bincount(r, minlength=n))
 
 
+def _sharded_case(seed=0, n=1024, K=3, D=8, V=6, long_edges=24):
+    """Banded graph + some long-range edges, plus the unsharded COO adj."""
+    from kpgnn_tpu.ops.adjacency import COOAdj
+
+    s, r, a, x, t1, tk = banded_case(seed=seed, n=n, K=K, D=D, V1=V, Vk=V,
+                                     long_edges=long_edges)
+    coo = COOAdj(senders=jnp.asarray(s), receivers=jnp.asarray(r),
+                 edge_attr=jnp.asarray(a),
+                 edge_mask=jnp.ones(len(s), bool), n_nodes=n)
+    return coo, jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk)
+
+
+@pytest.mark.parametrize("mode", ["add", "scale", "mean"])
+def test_sharded_banded_aggregate_matches_coo(mode):
+    """Halo exchange composed with the local banded window matmuls: in-
+    shard edges ride the windows, every cross-shard edge travels the
+    spill list.  Pure XLA, so the compiled path runs under shard_map on
+    CPU too (no interpret-mode indirection)."""
+    from jax.sharding import PartitionSpec as P
+    from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
+    from kpgnn_tpu.parallel import make_mesh, partition_adj
+    from kpgnn_tpu.parallel.partition import attach_banded_plans
+
+    coo, x, t1, tk = _sharded_case()
+    n, K = x.shape[0], x.shape[1]
+    rng = np.random.default_rng(1)
+    scale = (jnp.asarray(rng.random((n, K)), jnp.float32)
+             if mode == "scale" else None)
+    aggr = "mean" if mode == "mean" else "add"
+    expect = khop_aggregate_adj(coo, x, t1, tk, scale=scale, aggr=aggr)
+
+    n_shards = 2
+    sharded = attach_banded_plans(partition_adj(coo, n_shards),
+                                  v1=t1.shape[0], vk=tk.shape[0])
+    assert sharded.banded is not None
+    # cross-shard edges must all be in the spill lists
+    assert sharded.banded.spill_senders is not None
+    mesh = make_mesh(n_shards, axis_names=("node",))
+    node = P("node")
+    sh_specs = sharded.replace(
+        senders=node, receivers=node, edge_attr=node, edge_mask=node,
+        send_rows=node, banded=jax.tree.map(lambda _: node,
+                                            sharded.banded))
+    opt = lambda v: node if v is not None else None
+
+    def per_device(adj_s, x_s, sc):
+        assert adj_s.banded is not None
+        return khop_aggregate_adj(adj_s, x_s, t1, tk, scale=sc, aggr=aggr)
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(sh_specs, node, opt(scale)),
+                       out_specs=node)
+    out = fn(sharded, x, scale)
+    assert np.allclose(np.asarray(out), np.asarray(expect), atol=1e-4), \
+        np.abs(np.asarray(out) - np.asarray(expect)).max()
+
+    if mode != "add":
+        return
+    # gradients through the exchange + window matmuls + spill
+    w = jnp.asarray(np.cos(np.arange(expect.size)).reshape(expect.shape),
+                    jnp.float32)
+    g_ref = jax.grad(lambda xx: jnp.sum(khop_aggregate_adj(
+        coo, xx, t1, tk) * w))(x)
+    loss_sh = jax.shard_map(
+        lambda adj_s, x_s, w_s: jax.lax.psum(
+            jnp.sum(khop_aggregate_adj(adj_s, x_s, t1, tk) * w_s),
+            "node"),
+        mesh=mesh, in_specs=(sh_specs, node, node), out_specs=P())
+    g_sh = jax.grad(lambda xx: loss_sh(sharded, xx, w))(x)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4), \
+        np.abs(np.asarray(g_sh) - np.asarray(g_ref)).max()
+
+
+def test_sharded_banded_slice_hops_keeps_plan():
+    """slice_hops on a banded-planned sharded adjacency slices the plan
+    statically (no per-window plan copies) and the padded spill entries
+    of hops >= k drop out via out-of-range rows."""
+    from jax.sharding import PartitionSpec as P
+    from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
+    from kpgnn_tpu.parallel import make_mesh, partition_adj
+    from kpgnn_tpu.parallel.partition import attach_banded_plans
+
+    coo, x, t1, tk = _sharded_case(seed=4)
+    n_shards = 2
+    sharded = attach_banded_plans(partition_adj(coo, n_shards),
+                                  v1=t1.shape[0], vk=tk.shape[0])
+    mesh = make_mesh(n_shards, axis_names=("node",))
+    node = P("node")
+    sh_specs = sharded.replace(
+        senders=node, receivers=node, edge_attr=node, edge_mask=node,
+        send_rows=node, banded=jax.tree.map(lambda _: node,
+                                            sharded.banded))
+    for k in (1, 2):
+        expect = khop_aggregate_adj(coo.slice_hops(k), x[:, :k], t1,
+                                    tk if k > 1 else None)
+
+        def per_device(adj_s, x_s, k=k):
+            sl = adj_s.slice_hops(k)
+            assert sl.banded is not None        # fast path kept
+            return khop_aggregate_adj(sl, x_s[:, :k], t1,
+                                      tk if k > 1 else None)
+
+        fn = jax.shard_map(per_device, mesh=mesh,
+                           in_specs=(sh_specs, node), out_specs=node)
+        out = fn(sharded, x)
+        assert np.allclose(np.asarray(out), np.asarray(expect),
+                           atol=1e-4), (k, np.abs(
+                               np.asarray(out) - np.asarray(expect)).max())
+
+
 def test_banded_layer_matches_coo():
     """KPGINConv end to end: banded == COO, values and shapes."""
     from kpgnn_tpu.graph.batch import collate, collate_banded
