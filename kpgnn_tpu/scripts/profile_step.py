@@ -218,6 +218,52 @@ def stage_large(out_dir):
     _summarize(d, "large-graph pallas step (n=8192 x2, K=3) x5")
 
 
+def stage_banded(out_dir):
+    """The banded-backend large-graph step (f32 + bf16)."""
+    from kpgnn_tpu.data.synthetic import synthetic_polymers
+    from kpgnn_tpu.graph.batch import collate_banded
+    from kpgnn_tpu.models import ModelConfig, make_model
+    from kpgnn_tpu.train import create_train_state, make_train_step
+
+    n_nodes, kk, batch = 8192, 3, 2
+    graphs = synthetic_polymers(batch, n_nodes, K=kk, seed=0)
+    mk = lambda dtype: ModelConfig(
+        model_name="KPGIN", hidden_size=102, num_layer=3, K=kk,
+        num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
+        max_edge_count=20, max_hop_num=6, max_distance_count=30,
+        JK="last", combine="attention", residual=True,
+        input_encoder=("embedding", 21),
+        task="graph_regression", pooling_method="sum",
+        compute_dtype=dtype)
+    b = collate_banded(graphs, v1=5, vk=32)
+    print(f"banded plan: tile={b.adj.tile}, halo={b.adj.halo}, "
+          f"spill={'none' if b.adj.spill_senders is None else b.adj.spill_senders.shape[0]}",
+          flush=True)
+    for dtype in ("float32", "bfloat16"):
+        model = make_model(mk(dtype))
+        state, tx = create_train_state(model, b, jax.random.PRNGKey(0),
+                                       1e-3)
+        step = make_train_step(model, tx, loss="l1", donate=True)
+        rng = jax.random.PRNGKey(1)
+        state, m = step(state, b, rng)
+        jax.block_until_ready(m["loss_sum"])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                state, m = step(state, b, rng)
+            jax.block_until_ready(m["loss_sum"])
+            best = min(best, (time.perf_counter() - t0) / 20)
+        print(f"banded {dtype} step: {best * 1e3:.3f} ms", flush=True)
+        d = os.path.join(out_dir, f"banded_{dtype}")
+        jax.profiler.start_trace(d)
+        for _ in range(5):
+            state, m = step(state, b, rng)
+        jax.block_until_ready(m["loss_sum"])
+        jax.profiler.stop_trace()
+        _summarize(d, f"banded {dtype} large step (n=8192 x2, K=3) x5")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out_dir", default="/tmp/kpgnn_profile")
@@ -229,7 +275,7 @@ def main(argv=None):
     for stage in args.stages.split(","):
         fn = {"resident": stage_resident, "bf16": stage_bf16,
               "resident_ab": stage_resident_ab,
-              "large": stage_large}[stage.strip()]
+              "large": stage_large, "banded": stage_banded}[stage.strip()]
         print(f"\n######## stage {stage} ########", flush=True)
         t0 = time.time()
         try:
