@@ -339,13 +339,14 @@ def collate_pallas(
     egroup = egroup or EGROUP
     if n_pad is not None:
         n_pad = ((n_pad + tile_r - 1) // tile_r) * tile_r
+    elif spec is not None:
+        # caller-provided spec keeps its own bucketing policy
+        spec = dataclasses.replace(spec, node_multiple=tile_r)
     else:
         # tile multiples already quantize the shape; power-of-two
         # escalation would pad 16386 -> 32768 nodes (2x kernel rows).
         # Loaders that want few compiled shapes pass a fixed n_pad.
-        spec = dataclasses.replace(spec or BucketSpec(),
-                                   node_multiple=tile_r,
-                                   power_of_two=False)
+        spec = BucketSpec(node_multiple=tile_r, power_of_two=False)
     batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                     spec=spec, y_is_node_level=y_is_node_level)
     coo = batch.adj
@@ -368,22 +369,27 @@ def collate_banded(
     y_is_node_level: bool = False,
     tile: Optional[int] = None,
     halo: Optional[int] = None,
+    spill_pad: Optional[int] = None,
 ) -> GraphBatch:
     """COO collation whose adjacency is a banded window plan
     (ops/banded.py) — the fastest backend for large locally-ordered
     graphs (bounded bandwidth under the node order).  The halo auto-
     sizes to the batch's actual edge reach; out-of-band edges spill to
     a COO side list, so any graph runs — but bandwidth-ordered graphs
-    run at banded-matmul speed."""
+    run at banded-matmul speed.
+
+    Loaders pin ``halo`` and ``spill_pad`` (worst case over the
+    dataset) so every batch compiles to one shape; ad-hoc calls may
+    leave both None and take the batch-fitted shapes."""
     from ..ops.banded import BANDED_TILE, build_banded
 
     tile = tile or BANDED_TILE
     if n_pad is not None:
         n_pad = ((n_pad + tile - 1) // tile) * tile
+    elif spec is not None:
+        spec = dataclasses.replace(spec, node_multiple=tile)
     else:
-        spec = dataclasses.replace(spec or BucketSpec(),
-                                   node_multiple=tile,
-                                   power_of_two=False)
+        spec = BucketSpec(node_multiple=tile, power_of_two=False)
     batch = collate(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                     spec=spec, y_is_node_level=y_is_node_level)
     coo = batch.adj
@@ -391,7 +397,7 @@ def collate_banded(
     adj = build_banded(
         np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
         np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
-        tile=tile, halo=halo)
+        tile=tile, halo=halo, spill_pad=spill_pad)
     return batch.replace(adj=adj)
 
 

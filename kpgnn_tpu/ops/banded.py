@@ -93,25 +93,33 @@ class BandedAdj:
         return self.hop_deg
 
     def slice_hops(self, k: int) -> "BandedAdj":
+        return self._slice(k, lead=0)
+
+    def _slice(self, k: int, lead: int) -> "BandedAdj":
+        """Hop-slice with `lead` extra leading axes on every array field
+        (lead=1 for shard-stacked plans inside ShardedCOOAdj) — ONE
+        implementation for both layouts."""
         if k == self.n_hops:
             return self
+        ix = (slice(None),) * lead
         if self.spill_senders is not None and not self.spill_hop_ends:
-            # stacked (node-sharded) plans have ragged per-shard spill, so
-            # no static hop cut points: keep the whole list — rows of
-            # hops >= k land outside [0, k*N) and segment_sum drops them
-            # (their clamped gathers never land anywhere)
+            # padded/stacked spill lists have no static hop cut points:
+            # keep the whole list — rows of hops >= k land outside
+            # [0, k*N) and segment_sum drops them (their clamped gathers
+            # never land anywhere)
             sp_s, sp_r = self.spill_senders, self.spill_rows
         else:
             sp_end = (self.spill_hop_ends[k - 1]
                       if self.spill_hop_ends else 0)
             sp_s = (None if self.spill_senders is None or sp_end == 0
-                    else self.spill_senders[:sp_end])
+                    else self.spill_senders[ix + (slice(None, sp_end),)])
             sp_r = (None if self.spill_rows is None or sp_end == 0
-                    else self.spill_rows[:sp_end])
+                    else self.spill_rows[ix + (slice(None, sp_end),)])
         return self.replace(
-            live=self.live[:k],
-            countsk=self.countsk[:, :k - 1] if k > 1 else None,
-            hop_deg=self.hop_deg[:, :k],
+            live=self.live[ix + (slice(None, k),)],
+            countsk=(self.countsk[ix + (slice(None), slice(None, k - 1))]
+                     if k > 1 else None),
+            hop_deg=self.hop_deg[ix + (slice(None), slice(None, k))],
             spill_senders=sp_s,
             spill_rows=sp_r,
             spill_hop_ends=self.spill_hop_ends[:k],
@@ -122,7 +130,8 @@ class BandedAdj:
 def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                  tile: int = BANDED_TILE, halo: Optional[int] = None,
                  halo_cap: int = DEFAULT_HALO_CAP,
-                 n_cols: Optional[int] = None) -> BandedAdj:
+                 n_cols: Optional[int] = None,
+                 spill_pad: Optional[int] = None) -> BandedAdj:
     """Host-side plan: per-hop live masks over static halo windows,
     attr-code histograms, out-of-band spill.
 
@@ -134,6 +143,11 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     (the node-sharded halo-extended table [owned | halo rows]); senders
     at rows >= n_nodes sit outside every window and spill, which is
     exactly the O(boundary) cross-shard edge set.
+
+    ``spill_pad``: pad the spill list to this fixed length with dropped
+    entries (row -> one past the output) so batches of varying spill
+    counts share one compiled shape (loaders pin this; the static hop
+    cut points are then dropped in favor of out-of-range row dropping).
     """
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
@@ -155,7 +169,11 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         windowable = live_any & (senders < n_nodes)
         need = int(reach[windowable].max()) if windowable.any() else 0
         halo = min(-(-need // HALO_ALIGN) * HALO_ALIGN, cap)
-    assert halo <= tile, (halo, tile)
+    if halo > tile:
+        raise ValueError(
+            f"halo={halo} exceeds tile={tile}: the window views overlap "
+            "adjacent tiles only — raise tile (collate with node_multiple "
+            ">= tile) or lower halo; edges reaching further spill anyway")
     win = tile + 2 * halo
 
     in_band = (reach <= halo) & (senders < n_nodes)
@@ -175,16 +193,31 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
 
     spill_senders = spill_rows = None
     spill_hop_ends: Tuple[int, ...] = ()
-    if sp_r:
-        rows = np.concatenate(sp_r).astype(np.int64)
-        cols = np.concatenate(sp_s).astype(np.int64)
+    if sp_r or spill_pad:
+        rows = (np.concatenate(sp_r).astype(np.int64) if sp_r
+                else np.zeros(0, np.int64))
+        cols = (np.concatenate(sp_s).astype(np.int64) if sp_r
+                else np.zeros(0, np.int64))
         order = np.argsort(rows, kind="stable")
         rows, cols = rows[order], cols[order]
+        if spill_pad is not None:
+            if len(rows) > spill_pad:
+                raise ValueError(
+                    f"spill_pad={spill_pad} < actual spill {len(rows)}; "
+                    "raise the pad (loaders size it from the worst-case "
+                    "batch)")
+            pad = spill_pad - len(rows)
+            # dropped entries: row one past the output, harmless sender
+            rows = np.concatenate([rows, np.full(pad, K * n_nodes)])
+            cols = np.concatenate([cols, np.zeros(pad, np.int64)])
         spill_rows = jnp.asarray(rows.astype(np.int32))
         spill_senders = jnp.asarray(cols.astype(np.int32))
-        spill_hop_ends = tuple(
-            int(np.searchsorted(rows, (k + 1) * n_nodes))
-            for k in range(K))
+        if spill_pad is None:
+            spill_hop_ends = tuple(
+                int(np.searchsorted(rows, (k + 1) * n_nodes))
+                for k in range(K))
+        # padded lists keep no static hop cuts: slice_hops relies on
+        # out-of-range rows dropping instead (see slice_hops)
 
     counts1 = np.zeros((n_nodes, v1), np.float32)
     np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)

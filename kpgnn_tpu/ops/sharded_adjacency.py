@@ -138,22 +138,12 @@ class ShardedCOOAdj:
 
 
 def _slice_banded(b, k: int):
-    """Hop-slice a (possibly shard-stacked) banded plan.  Stacked plans
+    """Hop-slice a (possibly shard-stacked) banded plan: stacked plans
     carry a leading shard axis on every array field, so the hop axis
-    shifts by one; the padded spill list is kept whole — rows of hops
-    >= k fall outside [0, k*n_local) and segment_sum drops them."""
+    shifts by one (BandedAdj._slice owns the logic for both layouts)."""
     if b is None:
         return None
-    if b.live.ndim == 4:                # already local
-        return b.slice_hops(k)
-    if k == b.n_hops:
-        return b
-    return b.replace(
-        live=b.live[:, :k],
-        countsk=b.countsk[:, :, :k - 1] if k > 1 else None,
-        hop_deg=b.hop_deg[:, :, :k],
-        spill_hop_ends=(),
-        n_hops=k)
+    return b._slice(k, lead=0 if b.live.ndim == 4 else 1)
 
 
 def node_axis(adj_or_batch) -> Optional[str]:

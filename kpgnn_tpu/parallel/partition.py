@@ -260,6 +260,15 @@ def attach_banded_plans(adj: ShardedCOOAdj, v1: int, vk: int,
     if tile is None:
         # largest power-of-two-ish divisor of n_local up to the default
         tile = math.gcd(adj.n_local, BANDED_TILE)
+        if tile < 32:
+            # a degenerate tile caps the halo at tile rows, classifying
+            # nearly every edge out-of-band: that is a gather+segment-sum
+            # in a banded costume, strictly slower than plain COO
+            raise ValueError(
+                f"auto tile gcd(n_local={adj.n_local}, {BANDED_TILE}) = "
+                f"{tile} is too small to be useful; collate with "
+                "node_multiple = n_shards * 256 (or pass an explicit "
+                "tile that divides n_local)")
     if adj.n_local % tile:
         raise ValueError(
             f"n_local={adj.n_local} must divide by tile={tile} for the "

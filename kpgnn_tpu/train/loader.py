@@ -109,6 +109,27 @@ class GraphLoader:
         if mode in ("pallas", "banded"):
             self.v1, self.vk = v1, vk
             self.pallas_geometry = pallas_geometry or (None, None, None)
+        if mode == "banded":
+            # pin the halo and the spill-list length to dataset worst
+            # cases so every batch compiles to ONE shape (per-batch
+            # auto-sizing would recompile on nearly every shuffled step)
+            from ..ops.banded import (BANDED_TILE, DEFAULT_HALO_CAP,
+                                      HALO_ALIGN)
+            cap = min(DEFAULT_HALO_CAP, BANDED_TILE)
+            spans_max, spills = [], []
+            for g in self.graphs:
+                span = np.abs(g.edge_index[0].astype(np.int64)
+                              - g.edge_index[1]).astype(np.int64)
+                spans_max.append(int(span.max()) if len(span) else 0)
+                spills.append((span, np.asarray(g.edge_attr) > 0))
+            need = min(max(spans_max, default=0), cap)
+            self.banded_halo = -(-need // HALO_ALIGN) * HALO_ALIGN
+            # edges with span <= halo can never spill (reach <= span);
+            # bound each graph's spill by its live hop entries beyond
+            # the halo, then take the worst batch_size graphs together
+            per_g = sorted((int(live[span > self.banded_halo].sum())
+                            for span, live in spills), reverse=True)
+            self.banded_spill_pad = sum(per_g[:batch_size]) or None
         if mode == "dense":
             max_n = max(g.num_nodes for g in self.graphs)
             self.n_slot = n_slot if n_slot is not None else _round_up(max_n, 8)
@@ -156,7 +177,8 @@ class GraphLoader:
             return collate_banded(
                 batch_graphs, v1=self.v1, vk=self.vk, n_pad=self.n_pad,
                 e_pad=self.e_pad, g_pad=self.g_pad,
-                y_is_node_level=self.y_is_node_level)
+                y_is_node_level=self.y_is_node_level,
+                halo=self.banded_halo, spill_pad=self.banded_spill_pad)
         return collate(
             batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
             g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

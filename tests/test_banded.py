@@ -276,6 +276,64 @@ def test_sharded_banded_slice_hops_keeps_plan():
                                np.asarray(out) - np.asarray(expect)).max())
 
 
+def test_banded_loader_pins_one_compiled_shape():
+    """Shuffled banded-mode loading must produce identical pytree shapes
+    across batches (halo and spill length pinned to dataset worst case),
+    or every step would recompile."""
+    from kpgnn_tpu.graph.data import Graph
+    from kpgnn_tpu.train import GraphLoader
+
+    rng = np.random.default_rng(3)
+    gs = []
+    for i in range(12):
+        n = int(rng.integers(520, 640))   # long edges (span n//2) must
+                                          # exceed the dataset halo
+        src = np.arange(n - 1)
+        s, r = [src], [src + 1]
+        # varying numbers of long-range edges -> varying raw spill counts
+        for _ in range(int(rng.integers(0, 4))):
+            a = int(rng.integers(0, n // 3))
+            s.append([a])
+            r.append([a + n // 2])
+        ei = np.stack([np.concatenate(s), np.concatenate(r)])
+        e = ei.shape[1]
+        ea = rng.integers(1, 6, size=(e, 2)).astype(np.int32)
+        gs.append(Graph(num_nodes=n, edge_index=ei.astype(np.int32),
+                        edge_attr=ea,
+                        x=rng.normal(size=(n, 4)).astype(np.float32),
+                        y=np.zeros(1, np.float32)))
+    loader = GraphLoader(gs, batch_size=4, shuffle=True, seed=0,
+                         mode="banded", v1=6, vk=6)
+    shapes = {tuple((p, tuple(a.shape)) for p, a in
+                    jax.tree_util.tree_leaves_with_path(b))
+              for b in loader}
+    assert len(shapes) == 1, f"{len(shapes)} distinct compiled shapes"
+    b = loader.example()
+    assert b.adj.spill_rows is not None        # padded, present in all
+
+
+def test_banded_padded_spill_slice_hops_drops():
+    """A spill_pad-built plan has no static hop cuts; sliced hops must
+    still drop the higher-hop (and padding) spill entries exactly."""
+    s, r, a, x, t1, tk = banded_case(seed=17, long_edges=10)
+    adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0],
+                       halo=64, spill_pad=256)
+    assert adj.spill_hop_ends == ()
+    assert adj.spill_rows.shape[0] == 256
+    out_full = banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
+                                     jnp.asarray(tk), adj)
+    assert np.allclose(np.asarray(out_full), oracle(s, r, a, x, t1, tk),
+                       atol=1e-4)
+    for k in (1, 2):
+        sub = adj.slice_hops(k)
+        out = banded_khop_aggregate(
+            jnp.asarray(x[:, :k]), jnp.asarray(t1),
+            jnp.asarray(tk) if k > 1 else None, sub)
+        assert np.allclose(np.asarray(out),
+                           oracle(s, r, a[:, :k], x[:, :k], t1,
+                                  tk if k > 1 else None), atol=1e-4), k
+
+
 def test_banded_layer_matches_coo():
     """KPGINConv end to end: banded == COO, values and shapes."""
     from kpgnn_tpu.graph.batch import collate, collate_banded
