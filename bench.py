@@ -223,6 +223,39 @@ def _bench_large_graph():
             out[name] = round(_bench_backend(m, batches, edges), 1)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
+    try:
+        # bare banded aggregation, chained-one-jit (the banded analog of
+        # pallas_spmm_fwd_edges_per_s; tune_banded sweeps the tile)
+        from kpgnn_tpu.ops.banded import banded_khop_aggregate
+
+        adjb = banded_b.adj
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(
+            size=(kk, banded_b.n_pad, 102)).astype(np.float32))
+        t1 = jnp.asarray(rng.normal(size=(v1, 102)).astype(np.float32))
+        tk = jnp.asarray(rng.normal(size=(vk, 102)).astype(np.float32))
+        chain = 8
+
+        def fn(x):
+            for _ in range(chain):
+                x = banded_khop_aggregate(x, t1, tk, adjb, hop_major=True)
+            return x
+
+        f = jax.jit(fn)
+        jax.block_until_ready(f(x0))
+        best = 0.0
+        iters = max(ITERS // chain, 1)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = f(x0)
+            jax.block_until_ready(o)
+            best = max(best, iters * chain * edges[0]
+                       / (time.perf_counter() - t0))
+        out["banded_fwd_edges_per_s"] = round(best, 1)
+    except Exception as e:
+        out["banded_fwd_edges_per_s"] = \
+            f"error: {type(e).__name__}: {e}"[:120]
     return out
 
 
