@@ -370,6 +370,7 @@ def collate_banded(
     tile: Optional[int] = None,
     halo: Optional[int] = None,
     spill_pad: Optional[int] = None,
+    gcn_norm: bool = False,
 ) -> GraphBatch:
     """COO collation whose adjacency is a banded window plan
     (ops/banded.py) — the fastest backend for large locally-ordered
@@ -413,10 +414,21 @@ def collate_banded(
                     spec=spec, y_is_node_level=y_is_node_level)
     coo = batch.adj
     em = np.asarray(coo.edge_mask)
-    adj = build_banded(
-        np.asarray(coo.receivers)[em], np.asarray(coo.senders)[em],
-        np.asarray(coo.edge_attr)[em], coo.n_nodes, v1, vk,
-        tile=tile, halo=halo, spill_pad=spill_pad)
+    recv = np.asarray(coo.receivers)[em]
+    send = np.asarray(coo.senders)[em]
+    attr = np.asarray(coo.edge_attr)[em]
+    sw = None
+    if gcn_norm:
+        # KPGCN's structural sender scale deg^-0.5 (self-loop included,
+        # matching degree(adj, add_self_loop=True)) folds into the plan
+        K = attr.shape[1]
+        deg = np.ones((coo.n_nodes, K), np.float32)     # +1 self loop
+        for k in range(K):
+            np.add.at(deg[:, k], recv[attr[:, k] > 0], 1.0)
+        sw = 1.0 / np.sqrt(deg)
+    adj = build_banded(recv, send, attr, coo.n_nodes, v1, vk,
+                       tile=tile, halo=halo, spill_pad=spill_pad,
+                       sender_weights=sw)
     return batch.replace(adj=adj)
 
 

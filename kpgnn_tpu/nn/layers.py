@@ -163,8 +163,20 @@ class KPGCNConv(nn.Module):
 
         deg = degree(adj, add_self_loop=True)               # (N, K)
         dis = jax.lax.rsqrt(deg)
-        agg = khop_aggregate_adj(adj, x, t1, tk,
-                                 scale=dis, sender_scale=dis)
+        from ..ops.banded import BandedAdj
+        if isinstance(adj, BandedAdj):
+            # the structural sender scale deg^-0.5 is folded into the
+            # plan at collate time (collate_banded(gcn_norm=True)); only
+            # the receiver side stays dynamic
+            if not adj.sender_scaled:
+                raise ValueError(
+                    "KPGCN on the banded backend needs a gcn_norm plan: "
+                    "collate_banded(..., gcn_norm=True) (the loader sets "
+                    "this for KPGCN models)")
+            agg = khop_aggregate_adj(adj, x, t1, tk, scale=dis)
+        else:
+            agg = khop_aggregate_adj(adj, x, t1, tk,
+                                     scale=dis, sender_scale=dis)
         # analytic self-loop: edge (i, i) with attr 1 on every hop column
         self_emb = _self_loop_row(t1.at[0].set(0.0),
                                   tk.at[0].set(0.0) if tk is not None else None,

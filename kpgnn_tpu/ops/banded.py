@@ -58,7 +58,7 @@ class BandedAdj:
     (spill included), so the embedding sum never depends on the band.
     """
 
-    live: jnp.ndarray               # (K, T, tile, win) int8
+    live: jnp.ndarray               # (K, T, tile, win) int8 | f32 scaled
     counts1: jnp.ndarray            # (N, V1) float32
     countsk: Optional[jnp.ndarray]  # (N, K-1, Vk) float32 | None
     union_deg: jnp.ndarray          # (N,) float32
@@ -66,8 +66,15 @@ class BandedAdj:
     # out-of-band edges, hop-major (row = k·N + receiver), row-sorted
     spill_senders: Optional[jnp.ndarray] = None   # (S,) int32, k·N + sender
     spill_rows: Optional[jnp.ndarray] = None      # (S,) int32
+    # per-spill-edge sender weight (sender-scaled plans only)
+    spill_weights: Optional[jnp.ndarray] = None   # (S,) float32
     spill_hop_ends: Tuple[int, ...] = struct.field(pytree_node=False,
                                                    default=())
+    # True when a structural sender-side scale s_j (GCN's deg^-0.5) was
+    # folded into `live`, the histograms, and spill_weights at build
+    # time — callers must then NOT pass sender_scale (KPGCNConv detects
+    # this and passes only the receiver-side scale)
+    sender_scaled: bool = struct.field(pytree_node=False, default=False)
     tile: int = struct.field(pytree_node=False, default=BANDED_TILE)
     halo: int = struct.field(pytree_node=False, default=0)
     n_hops: int = struct.field(pytree_node=False, default=1)
@@ -107,14 +114,17 @@ class BandedAdj:
             # keep the whole list — rows of hops >= k land outside
             # [0, k*N) and segment_sum drops them (their clamped gathers
             # never land anywhere)
-            sp_s, sp_r = self.spill_senders, self.spill_rows
+            sp_s, sp_r, sp_w = (self.spill_senders, self.spill_rows,
+                                self.spill_weights)
         else:
             sp_end = (self.spill_hop_ends[k - 1]
                       if self.spill_hop_ends else 0)
-            sp_s = (None if self.spill_senders is None or sp_end == 0
-                    else self.spill_senders[ix + (slice(None, sp_end),)])
-            sp_r = (None if self.spill_rows is None or sp_end == 0
-                    else self.spill_rows[ix + (slice(None, sp_end),)])
+            cut = ix + (slice(None, sp_end),)
+            dead = self.spill_senders is None or sp_end == 0
+            sp_s = None if dead else self.spill_senders[cut]
+            sp_r = None if dead else self.spill_rows[cut]
+            sp_w = (None if dead or self.spill_weights is None
+                    else self.spill_weights[cut])
         return self.replace(
             live=self.live[ix + (slice(None, k),)],
             countsk=(self.countsk[ix + (slice(None), slice(None, k - 1))]
@@ -122,6 +132,7 @@ class BandedAdj:
             hop_deg=self.hop_deg[ix + (slice(None), slice(None, k))],
             spill_senders=sp_s,
             spill_rows=sp_r,
+            spill_weights=sp_w,
             spill_hop_ends=self.spill_hop_ends[:k],
             n_hops=k,
         )
@@ -131,7 +142,8 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                  tile: int = BANDED_TILE, halo: Optional[int] = None,
                  halo_cap: int = DEFAULT_HALO_CAP,
                  n_cols: Optional[int] = None,
-                 spill_pad: Optional[int] = None) -> BandedAdj:
+                 spill_pad: Optional[int] = None,
+                 sender_weights=None) -> BandedAdj:
     """Host-side plan: per-hop live masks over static halo windows,
     attr-code histograms, out-of-band spill.
 
@@ -148,6 +160,13 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     entries (row -> one past the output) so batches of varying spill
     counts share one compiled shape (loaders pin this; the static hop
     cut points are then dropped in favor of out-of-range row dropping).
+
+    ``sender_weights``: optional (n_cols, K) structural sender-side
+    scale s_j (GCN's deg^-0.5 — a pure function of the adjacency, so it
+    folds into the plan): the live mask becomes float (mask · s_j), the
+    histograms weight each attr code by s_j, and spill edges carry
+    per-edge weights.  The aggregate must then be called WITHOUT
+    sender_scale (KPGCNConv handles this).
     """
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
@@ -176,30 +195,44 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
             ">= tile) or lower halo; edges reaching further spill anyway")
     win = tile + 2 * halo
 
+    if sender_weights is not None:
+        sender_weights = np.asarray(sender_weights, np.float32)
+        assert sender_weights.shape == (cn, K), (sender_weights.shape,
+                                                 (cn, K))
     in_band = (reach <= halo) & (senders < n_nodes)
-    live = np.zeros((K, T, tile, win), dtype=np.int8)
-    sp_r, sp_s = [], []
+    live = np.zeros((K, T, tile, win),
+                    dtype=np.float32 if sender_weights is not None
+                    else np.int8)
+    sp_r, sp_s, sp_w = [], [], []
     for k in range(K):
         lk = attr[:, k] > 0
         kb = lk & in_band
         i, j = receivers[kb], senders[kb]
         # add (not assign): duplicate (i, j) pairs keep their multiplicity
+        w = (1 if sender_weights is None else sender_weights[j, k])
         np.add.at(live, (k, i // tile, i % tile,
-                         j - (i // tile) * tile + halo), 1)
+                         j - (i // tile) * tile + halo), w)
         out = lk & ~in_band
         if out.any():
             sp_r.append(k * n_nodes + receivers[out])
             sp_s.append(k * cn + senders[out])
+            if sender_weights is not None:
+                sp_w.append(sender_weights[senders[out], k])
 
-    spill_senders = spill_rows = None
+    spill_senders = spill_rows = spill_weights = None
     spill_hop_ends: Tuple[int, ...] = ()
     if sp_r or spill_pad:
         rows = (np.concatenate(sp_r).astype(np.int64) if sp_r
                 else np.zeros(0, np.int64))
         cols = (np.concatenate(sp_s).astype(np.int64) if sp_r
                 else np.zeros(0, np.int64))
+        wts = None
+        if sender_weights is not None:
+            wts = (np.concatenate(sp_w).astype(np.float32) if sp_w
+                   else np.zeros(0, np.float32))
         order = np.argsort(rows, kind="stable")
         rows, cols = rows[order], cols[order]
+        wts = wts[order] if wts is not None else None
         if spill_pad is not None:
             if len(rows) > spill_pad:
                 raise ValueError(
@@ -210,8 +243,11 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
             # dropped entries: row one past the output, harmless sender
             rows = np.concatenate([rows, np.full(pad, K * n_nodes)])
             cols = np.concatenate([cols, np.zeros(pad, np.int64)])
+            if wts is not None:
+                wts = np.concatenate([wts, np.zeros(pad, np.float32)])
         spill_rows = jnp.asarray(rows.astype(np.int32))
         spill_senders = jnp.asarray(cols.astype(np.int32))
+        spill_weights = jnp.asarray(wts) if wts is not None else None
         if spill_pad is None:
             spill_hop_ends = tuple(
                 int(np.searchsorted(rows, (k + 1) * n_nodes))
@@ -219,15 +255,21 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         # padded lists keep no static hop cuts: slice_hops relies on
         # out-of-range rows dropping instead (see slice_hops)
 
+    def hop_w(k):
+        return (1.0 if sender_weights is None
+                else sender_weights[senders, k])
+
     counts1 = np.zeros((n_nodes, v1), np.float32)
-    np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)), 1.0)
+    np.add.at(counts1, (receivers, np.clip(attr[:, 0], 0, v1 - 1)),
+              hop_w(0))
     counts1[:, 0] = 0.0
     countsk = None
     if K > 1:
         countsk = np.zeros((n_nodes, K - 1, vk), np.float32)
         for k in range(1, K):
             np.add.at(countsk[:, k - 1],
-                      (receivers, np.clip(attr[:, k], 0, vk - 1)), 1.0)
+                      (receivers, np.clip(attr[:, k], 0, vk - 1)),
+                      hop_w(k))
         countsk[:, :, 0] = 0.0
     union_deg = np.bincount(receivers, minlength=n_nodes).astype(np.float32)
     hop_deg = np.stack(
@@ -242,11 +284,13 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         hop_deg=jnp.asarray(hop_deg),
         spill_senders=spill_senders,
         spill_rows=spill_rows,
+        spill_weights=spill_weights,
         spill_hop_ends=spill_hop_ends,
         tile=tile,
         halo=halo,
         n_hops=K,
         n_cols_static=(0 if cn == n_nodes else cn),
+        sender_scaled=sender_weights is not None,
     )
 
 
@@ -279,11 +323,17 @@ def banded_khop_aggregate(
 ) -> jnp.ndarray:
     """Matches ops.adjacency's khop_aggregate_adj contract on the banded
     plan.  Natively hop-major — (K, N, D) in and out runs with zero
-    layout copies; node-major callers pay one transpose each way."""
+    layout copies; node-major callers pay one transpose each way.
+
+    Sender-side scales are structural (GCN's deg^-0.5) and must be
+    folded into the plan at build time (``sender_weights``); a dynamic
+    ``sender_scale`` argument is rejected either way."""
     if sender_scale is not None:
         raise ValueError(
-            "banded backend does not support sender-scaled aggregation "
-            "(KPGCN's factored norm); use the pallas or coo backend")
+            "banded backend takes no dynamic sender_scale: GCN's "
+            "structural deg^-0.5 folds into the plan — collate with "
+            "gcn_norm=True (KPGCNConv then passes only the receiver "
+            "scale); other sender scales need the pallas or coo backend")
     if not hop_major:
         out = banded_khop_aggregate(
             jnp.transpose(x, (1, 0, 2)), table1, tablek, adj,
@@ -311,6 +361,9 @@ def banded_khop_aggregate(
     if adj.spill_senders is not None:
         xf = xs.reshape(K * cn, D)
         gathered = xf[adj.spill_senders].astype(out.dtype)
+        if adj.spill_weights is not None:
+            gathered = gathered * adj.spill_weights[:, None].astype(
+                out.dtype)
         out = out.reshape(K * N, D) + jax.ops.segment_sum(
             gathered, adj.spill_rows, num_segments=K * N,
             indices_are_sorted=True)

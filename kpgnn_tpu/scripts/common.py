@@ -227,11 +227,14 @@ def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
     if backend == "coo" or (getattr(args, "parallel", None) == "node"
                             and backend in ("pallas", "banded")):
         return {"mode": "coo"}
-    return {
+    kw = {
         "mode": backend,
         "v1": mcfg.num_hop1_edge + 2,
         "vk": mcfg.max_pe_num + 2,
     }
+    if backend == "banded" and mcfg.model_name == "KPGCN":
+        kw["banded_gcn_norm"] = True
+    return kw
 
 
 def maybe_mesh(args):

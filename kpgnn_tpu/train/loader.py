@@ -94,6 +94,7 @@ class GraphLoader:
         v1: Optional[int] = None,
         vk: Optional[int] = None,
         pallas_geometry: Optional[tuple] = None,  # (tile_r, wblock, egroup)
+        banded_gcn_norm: bool = False,  # fold GCN's deg^-0.5 into the plan
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -109,6 +110,7 @@ class GraphLoader:
         if mode in ("pallas", "banded"):
             self.v1, self.vk = v1, vk
             self.pallas_geometry = pallas_geometry or (None, None, None)
+            self.banded_gcn_norm = banded_gcn_norm
         if mode == "banded":
             # pin the halo and the spill-list length to dataset worst
             # cases so every batch compiles to ONE shape (per-batch
@@ -178,7 +180,8 @@ class GraphLoader:
                 batch_graphs, v1=self.v1, vk=self.vk, n_pad=self.n_pad,
                 e_pad=self.e_pad, g_pad=self.g_pad,
                 y_is_node_level=self.y_is_node_level,
-                halo=self.banded_halo, spill_pad=self.banded_spill_pad)
+                halo=self.banded_halo, spill_pad=self.banded_spill_pad,
+                gcn_norm=self.banded_gcn_norm)
         return collate(
             batch_graphs, n_pad=self.n_pad, e_pad=self.e_pad,
             g_pad=self.g_pad, y_is_node_level=self.y_is_node_level)

@@ -143,10 +143,65 @@ def test_banded_gradients_match_coo():
         assert np.allclose(np.asarray(b), np.asarray(c), atol=1e-4)
 
 
+def test_banded_gcn_norm_matches_coo():
+    """KPGCNConv end to end on a gcn_norm banded plan == the COO backend
+    (the structural deg^-0.5 sender scale folds into the mask, the
+    weighted histograms, and the spill weights), gradients included."""
+    from kpgnn_tpu.graph.batch import collate, collate_banded
+    from kpgnn_tpu.graph.data import Graph
+    from kpgnn_tpu.nn.layers import KPGCNConv
+
+    rng = np.random.default_rng(23)
+    K, V1, VK = 2, 4, 8
+    gs = []
+    for n in (300, 280):                  # long edges force spill
+        src = np.arange(n - 1)
+        s = np.concatenate([src, [5, 9]])
+        r = np.concatenate([src + 1, [5 + n // 2, 9 + n // 2]])
+        ei = np.stack([s, r])
+        e = ei.shape[1]
+        ea = rng.integers(1, VK, size=(e, K)).astype(np.int32)
+        ea[:, 0] = rng.integers(1, V1, e)
+        gs.append(Graph(num_nodes=n, edge_index=ei.astype(np.int32),
+                        edge_attr=ea,
+                        x=rng.normal(size=(n, 12)).astype(np.float32),
+                        y=np.zeros(1, np.float32),
+                        pe_attr=rng.integers(0, VK, size=(n, K - 1))
+                        .astype(np.int32)))
+    cb = collate_banded(gs, v1=V1, vk=VK, halo=64, gcn_norm=True)
+    assert cb.adj.sender_scaled and cb.adj.spill_weights is not None
+    cc = collate(gs, n_pad=cb.n_pad)
+    conv = KPGCNConv(hidden_size=12, K=K, num_hop1_edge=V1 - 2,
+                     num_pe=VK - 2)
+    v = conv.init(jax.random.PRNGKey(0), cc.x, cc.adj,
+                  cc.pe_attr[:, :K - 1], None, cc.node_mask)
+    out_c = conv.apply(v, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None,
+                       cc.node_mask)
+    out_b = conv.apply(v, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None,
+                       cb.node_mask)
+    assert np.allclose(np.asarray(out_b), np.asarray(out_c), atol=1e-4), \
+        np.abs(np.asarray(out_b) - np.asarray(out_c)).max()
+
+    gc = jax.grad(lambda p: jnp.sum(conv.apply(
+        p, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None, cc.node_mask) ** 2)
+    )(v)
+    gb = jax.grad(lambda p: jnp.sum(conv.apply(
+        p, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None, cb.node_mask) ** 2)
+    )(v)
+    for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gb)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    # a plain (unscaled) banded plan must refuse the GCN layer loudly
+    cb2 = collate_banded(gs, v1=V1, vk=VK, halo=64)
+    with pytest.raises(ValueError, match="gcn_norm"):
+        conv.apply(v, cb2.x, cb2.adj, cb2.pe_attr[:, :K - 1], None,
+                   cb2.node_mask)
+
+
 def test_banded_rejects_sender_scale():
     s, r, a, x, t1, tk = banded_case(seed=13)
     adj = build_banded(r, s, a, x.shape[0], t1.shape[0], tk.shape[0])
-    with pytest.raises(ValueError, match="sender-scaled"):
+    with pytest.raises(ValueError, match="sender_scale"):
         banded_khop_aggregate(jnp.asarray(x), jnp.asarray(t1),
                               jnp.asarray(tk), adj,
                               sender_scale=jnp.ones(x.shape[:2]))
