@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..graph.batch import GraphBatch
+from ..ops.adjacency import hop_major_native
 from ..ops.lstm import BiLSTM
 from ..ops.segment import segment_sum
 from ..ops.sharded_adjacency import node_axis
@@ -222,6 +223,10 @@ class GNN(nn.Module):
             self.max_distance_count, self.wo_peripheral_edge,
             self.wo_peripheral_configuration, gate="sigmoid",
             name="peripheral")(batch, K).astype(x.dtype)
+        if hop_major_native(batch.adj):
+            # hop-major backends: the layers run their whole body in
+            # (K, N, dk); transpose the shared peripheral ONCE here
+            peripheral_attr = jnp.transpose(peripheral_attr, (1, 0, 2))
 
         vn_mod = (_VirtualNode(H, L, name="virtualnode")
                   if self.virtual_node else None)
@@ -378,6 +383,8 @@ class GNNPrime(nn.Module):
             self.max_distance_count, self.wo_peripheral_edge,
             self.wo_peripheral_configuration, gate="sigmoid",
             name="peripheral")(batch, K).astype(x.dtype)
+        if hop_major_native(batch.adj):
+            peripheral_attr = jnp.transpose(peripheral_attr, (1, 0, 2))
 
         vn_mod = (_VirtualNode(H, L, name="virtualnode")
                   if self.virtual_node else None)

@@ -33,6 +33,7 @@ from ..ops.sharded_adjacency import node_axis
 from ..ops.adjacency import (
     Adjacency,
     degree,
+    hop_major_native,
     khop_aggregate_adj,
 )
 from .basic import MLP, TorchLinear
@@ -85,11 +86,34 @@ def _self_loop_row(t1, tk, K):
     return t1[1][None]
 
 
+def _hop_mlp(mod, h, K, d_in, d_out, hm, suffix=""):
+    """Per-hop 2-layer-MLP weights applied in either layout: batched
+    (K, d_in, d_out) einsums so XLA runs them as one MXU call."""
+    w1 = mod.param(f"hop_proj1{suffix}", kaiming_uniform(), (K, d_in, d_out))
+    b1 = mod.param(f"hop_bias1{suffix}", fan_in_uniform_bias(d_in * d_out),
+                   (K, d_out))
+    w2 = mod.param(f"hop_proj2{suffix}", kaiming_uniform(),
+                   (K, d_out, d_out))
+    b2 = mod.param(f"hop_bias2{suffix}", fan_in_uniform_bias(d_out * d_out),
+                   (K, d_out))
+    eq = "kni,kio->kno" if hm else "nki,kio->nko"
+    badd = (lambda b: b[:, None]) if hm else (lambda b: b[None])
+    h = nn.relu(jnp.einsum(eq, h, w1.astype(h.dtype))
+                + badd(b1).astype(h.dtype))
+    return nn.relu(jnp.einsum(eq, h, w2.astype(h.dtype))
+                   + badd(b2).astype(h.dtype))
+
+
 class KPGINConv(nn.Module):
     """KP-GNN with GIN kernel (reference: layers/KPGIN.py:12-121).
 
     Hidden is split across hops (d_k = hidden / K); per-hop 2-layer MLP as
     batched 3-D weight tensors; GIN update x_n + (1 + eps) * x.
+
+    On hop-major-native backends (pallas, banded) the whole layer body
+    runs in the (K, N, dk) layout — one transpose at entry, none at the
+    aggregation boundary; the backbone supplies hop-major
+    peripheral_attr to match (ops.adjacency.hop_major_native).
     """
 
     hidden_size: int
@@ -105,33 +129,29 @@ class KPGINConv(nn.Module):
         K, H = self.K, self.hidden_size
         assert H % K == 0, "hidden_size must divide by K"
         dk = H // K
+        hm = hop_major_native(adj)
         x = x.reshape(-1, K, dk)
+        if hm:
+            x = jnp.transpose(x, (1, 0, 2))                  # (K, N, dk)
 
         t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
                                    self.num_pe)
-        x = _add_path_encoding(x, tpe, pe_attr)
-        x_n = khop_aggregate_adj(adj, x, t1, tk)
+        x = (_add_path_encoding_hm if hm else _add_path_encoding)(
+            x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk, hop_major=hm)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
 
         eps = (self.param("eps", nn.initializers.zeros, ())
                if self.train_eps else 0.0)
         h = x_n + (1.0 + eps) * x
-
-        w1 = self.param("hop_proj1", kaiming_uniform(), (K, dk, dk))
-        b1 = self.param("hop_bias1", fan_in_uniform_bias(dk * dk), (K, dk))
-        w2 = self.param("hop_proj2", kaiming_uniform(), (K, dk, dk))
-        b2 = self.param("hop_bias2", fan_in_uniform_bias(dk * dk), (K, dk))
-        h = nn.relu(jnp.einsum("nki,kio->nko", h, w1.astype(h.dtype))
-                    + b1[None].astype(h.dtype))
-        h = nn.relu(jnp.einsum("nki,kio->nko", h, w2.astype(h.dtype))
-                    + b2[None].astype(h.dtype))
+        h = _hop_mlp(self, h, K, dk, dk, hm)
 
         if K > 1:
-            h = make_combine(self.combine, K, dk)(h)
+            h = make_combine(self.combine, K, dk, hop_major=hm)(h)
             h = TorchLinear(H, name="combine_proj")(h)
         else:
-            h = h[:, 0]
+            h = h[0] if hm else h[:, 0]
         return h
 
 
@@ -155,11 +175,15 @@ class KPGCNConv(nn.Module):
         assert H % K == 0
         dk = H // K
         n = x.shape[0]
+        hm = hop_major_native(adj)
 
         x = TorchLinear(H, name="hop_proj")(x).reshape(n, K, dk)
+        if hm:
+            x = jnp.transpose(x, (1, 0, 2))                  # (K, N, dk)
         t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
                                    self.num_pe)
-        x = _add_path_encoding(x, tpe, pe_attr)
+        x = (_add_path_encoding_hm if hm else _add_path_encoding)(
+            x, tpe, pe_attr)
 
         deg = degree(adj, add_self_loop=True)               # (N, K)
         dis = jax.lax.rsqrt(deg)
@@ -173,24 +197,31 @@ class KPGCNConv(nn.Module):
                     "KPGCN on the banded backend needs a gcn_norm plan: "
                     "collate_banded(..., gcn_norm=True) (the loader sets "
                     "this for KPGCN models)")
-            agg = khop_aggregate_adj(adj, x, t1, tk, scale=dis)
+            agg = khop_aggregate_adj(adj, x, t1, tk, scale=dis,
+                                     hop_major=hm)
         else:
             agg = khop_aggregate_adj(adj, x, t1, tk,
-                                     scale=dis, sender_scale=dis)
+                                     scale=dis, sender_scale=dis,
+                                     hop_major=hm)
         # analytic self-loop: edge (i, i) with attr 1 on every hop column
         self_emb = _self_loop_row(t1.at[0].set(0.0),
                                   tk.at[0].set(0.0) if tk is not None else None,
                                   K)
-        agg = agg + (1.0 / deg)[..., None] * (x + self_emb[None])
+        inv = 1.0 / deg
+        if hm:
+            agg = agg + (jnp.transpose(inv)[..., None]
+                         * (x + self_emb[:, None]))
+        else:
+            agg = agg + inv[..., None] * (x + self_emb[None])
         h = nn.relu(agg)
 
         if peripheral_attr is not None:
             h = h + peripheral_attr
         if K > 1:
-            h = make_combine(self.combine, K, dk)(h)
+            h = make_combine(self.combine, K, dk, hop_major=hm)(h)
             h = TorchLinear(H, name="combine_proj")(h)
         else:
-            h = h[:, 0]
+            h = h[0] if hm else h[:, 0]
         return h
 
 
@@ -214,26 +245,35 @@ class KPGraphSAGEConv(nn.Module):
         K, H = self.K, self.hidden_size
         assert H % K == 0
         dk = H // K
+        hm = hop_major_native(adj)
         x = x.reshape(-1, K, dk)
+        if hm:
+            x = jnp.transpose(x, (1, 0, 2))                  # (K, N, dk)
         t1, tk, tpe = _edge_tables(self, K, dk, self.num_hop1_edge,
                                    self.num_pe)
-        x = _add_path_encoding(x, tpe, pe_attr)
-        x_n = khop_aggregate_adj(adj, x, t1, tk, aggr=self.aggr)
+        x = (_add_path_encoding_hm if hm else _add_path_encoding)(
+            x, tpe, pe_attr)
+        x_n = khop_aggregate_adj(adj, x, t1, tk, aggr=self.aggr,
+                                 hop_major=hm)
         if peripheral_attr is not None:
             x_n = x_n + peripheral_attr
 
-        h = jnp.concatenate([x, x_n], axis=-1)                # (N, K, 2dk)
+        h = jnp.concatenate([x, x_n], axis=-1)          # (..., K|N, 2dk)
         w = self.param("hop_proj", kaiming_uniform(), (K, 2 * dk, dk))
         b = self.param("hop_bias", fan_in_uniform_bias(2 * dk * dk), (K, dk))
-        h = jnp.einsum("nki,kio->nko", h, w.astype(h.dtype)) \
-            + b[None].astype(h.dtype)
+        if hm:
+            h = jnp.einsum("kni,kio->kno", h, w.astype(h.dtype)) \
+                + b[:, None].astype(h.dtype)
+        else:
+            h = jnp.einsum("nki,kio->nko", h, w.astype(h.dtype)) \
+                + b[None].astype(h.dtype)
         h = _l2_normalize(nn.relu(h), axis=-1)
 
         if K > 1:
-            h = make_combine(self.combine, K, dk)(h)
+            h = make_combine(self.combine, K, dk, hop_major=hm)(h)
             h = TorchLinear(H, name="combine_proj")(h)
         else:
-            h = h[:, 0]
+            h = h[0] if hm else h[:, 0]
         return h
 
 

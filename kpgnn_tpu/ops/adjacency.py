@@ -81,6 +81,17 @@ def _zero_row0(table: jnp.ndarray) -> jnp.ndarray:
     return table.at[0].set(0.0) if table is not None else None
 
 
+def hop_major_native(adj) -> bool:
+    """True for backends whose aggregation is natively hop-major
+    (K, N, D) — layers then run their whole body hop-major and skip the
+    kernel-boundary transposes; the backbone passes hop-major
+    peripheral embeddings to match."""
+    from .banded import BandedAdj
+    from .pallas_spmm import KHopPallasPlan
+
+    return isinstance(adj, (BandedAdj, KHopPallasPlan))
+
+
 def degree(adj: Adjacency, add_self_loop: bool = False) -> jnp.ndarray:
     """(N, K) per-hop in-degree over live hop entries."""
     from .banded import BandedAdj

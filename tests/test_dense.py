@@ -135,10 +135,14 @@ def test_pallas_backend_equals_coo(monkeypatch):
                          g_pad=len(gs) + 1)
 
     conv = KPGINConv(hidden_size=12, K=K, num_hop1_edge=V1 - 2, num_pe=VK - 2)
-    pa = jnp.zeros((coo.n_pad, K, 4))
+    rng = np.random.default_rng(0)
+    pa = jnp.asarray(rng.normal(size=(coo.n_pad, K, 4)).astype(np.float32))
     v = conv.init(jax.random.PRNGKey(0), coo.x, coo.adj, coo.pe_attr, pa)
     out_coo = np.asarray(conv.apply(v, coo.x, coo.adj, coo.pe_attr, pa))
-    out_pal = np.asarray(conv.apply(v, pal.x, pal.adj, pal.pe_attr, pa))
+    # hop-major-native backends take hop-major peripheral (the backbone
+    # transposes it once per forward)
+    out_pal = np.asarray(conv.apply(v, pal.x, pal.adj, pal.pe_attr,
+                                    jnp.transpose(pa, (1, 0, 2))))
     rows = real_rows(coo)
     assert np.allclose(out_coo[rows], out_pal[rows], atol=1e-4), \
         np.abs(out_coo[rows] - out_pal[rows]).max()
