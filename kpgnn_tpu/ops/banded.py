@@ -369,7 +369,9 @@ def banded_khop_aggregate(
             indices_are_sorted=True)
         out = out.reshape(K, N, D)
 
-    hi = jax.lax.Precision.HIGHEST     # counts are exact integers
+    # exact counts (or exact-f32 weighted sums on gcn_norm plans): keep
+    # the histogram matmul at full precision like the pallas epilogue
+    hi = jax.lax.Precision.HIGHEST
     t1 = table1.at[0].set(0.0)
     parts = [jnp.matmul(adj.counts1, t1, precision=hi)]
     if tablek is not None and K > 1:
