@@ -151,6 +151,8 @@ def _bench_pallas_spmm(graphs, mcfg):
     from kpgnn_tpu.graph.batch import collate, collate_pallas
     from kpgnn_tpu.ops.pallas_spmm import gather_segment_sum
 
+    from kpgnn_tpu.utils.timing import chained_throughput
+
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
     b = collate_pallas(graphs[:BATCH], v1=v1, vk=vk, tile_r=256,
                        wblock=512, egroup=4)
@@ -167,18 +169,7 @@ def _bench_pallas_spmm(graphs, mcfg):
             xs = gather_segment_sum(xs, plan.fwd)
         return xs
 
-    f = jax.jit(fn)
-    jax.block_until_ready(f(xs))
-    best = 0.0
-    iters = max(ITERS // chain, 1)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(xs)
-        jax.block_until_ready(out)
-        best = max(best, iters * chain * union_edges /
-                   (time.perf_counter() - t0))
-    return best
+    return chained_throughput(fn, xs, union_edges, ITERS, chain)
 
 
 def _bench_large_graph():
@@ -227,6 +218,7 @@ def _bench_large_graph():
         # bare banded aggregation, chained-one-jit (the banded analog of
         # pallas_spmm_fwd_edges_per_s; tune_banded sweeps the tile)
         from kpgnn_tpu.ops.banded import banded_khop_aggregate
+        from kpgnn_tpu.utils.timing import chained_throughput
 
         adjb = banded_b.adj
         rng = np.random.default_rng(0)
@@ -241,18 +233,8 @@ def _bench_large_graph():
                 x = banded_khop_aggregate(x, t1, tk, adjb, hop_major=True)
             return x
 
-        f = jax.jit(fn)
-        jax.block_until_ready(f(x0))
-        best = 0.0
-        iters = max(ITERS // chain, 1)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                o = f(x0)
-            jax.block_until_ready(o)
-            best = max(best, iters * chain * edges[0]
-                       / (time.perf_counter() - t0))
-        out["banded_fwd_edges_per_s"] = round(best, 1)
+        out["banded_fwd_edges_per_s"] = round(
+            chained_throughput(fn, x0, edges[0], ITERS, chain), 1)
     except Exception as e:
         out["banded_fwd_edges_per_s"] = \
             f"error: {type(e).__name__}: {e}"[:120]

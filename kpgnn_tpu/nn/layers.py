@@ -86,15 +86,14 @@ def _self_loop_row(t1, tk, K):
     return t1[1][None]
 
 
-def _hop_mlp(mod, h, K, d_in, d_out, hm, suffix=""):
+def _hop_mlp(mod, h, K, d_in, d_out, hm):
     """Per-hop 2-layer-MLP weights applied in either layout: batched
     (K, d_in, d_out) einsums so XLA runs them as one MXU call."""
-    w1 = mod.param(f"hop_proj1{suffix}", kaiming_uniform(), (K, d_in, d_out))
-    b1 = mod.param(f"hop_bias1{suffix}", fan_in_uniform_bias(d_in * d_out),
+    w1 = mod.param("hop_proj1", kaiming_uniform(), (K, d_in, d_out))
+    b1 = mod.param("hop_bias1", fan_in_uniform_bias(d_in * d_out),
                    (K, d_out))
-    w2 = mod.param(f"hop_proj2{suffix}", kaiming_uniform(),
-                   (K, d_out, d_out))
-    b2 = mod.param(f"hop_bias2{suffix}", fan_in_uniform_bias(d_out * d_out),
+    w2 = mod.param("hop_proj2", kaiming_uniform(), (K, d_out, d_out))
+    b2 = mod.param("hop_bias2", fan_in_uniform_bias(d_out * d_out),
                    (K, d_out))
     eq = "kni,kio->kno" if hm else "nki,kio->nko"
     badd = (lambda b: b[:, None]) if hm else (lambda b: b[None])

@@ -31,8 +31,11 @@ Semantics are identical to every other backend
 (reference: layers/KPGIN.py:100,115-118): per hop k,
 out[i,k] = aggr_j live(attr[k,i,j]) · s_i (x[j,k] + emb_k(attr)), with
 the embedding part collapsed into precomputed `counts @ table` matmuls.
-Sender-side scales (KPGCN's factored norm) are not supported here —
-route GCN through the pallas/coo backends.
+Sender-side scales are supported when structural: KPGCN's deg^-0.5 is a
+pure function of the adjacency, so it folds into the live mask, the
+histograms, and the spill weights at build time (``sender_weights`` /
+``collate_banded(gcn_norm=True)``); arbitrary dynamic sender scales
+belong on the pallas/coo backends.
 """
 from __future__ import annotations
 
@@ -166,7 +169,12 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
     folds into the plan): the live mask becomes float (mask · s_j), the
     histograms weight each attr code by s_j, and spill edges carry
     per-edge weights.  The aggregate must then be called WITHOUT
-    sender_scale (KPGCNConv handles this).
+    sender_scale (KPGCNConv handles this).  TPU numerics note: the
+    in-band mask (and so the folded s_j) rounds to bf16 with the rest
+    of the matmul inputs at DEFAULT precision — one extra rounding of
+    s_j vs the coo/pallas paths (which scale x in f32 first), ≤ ~0.4%
+    relative, the same order as the MXU's own input rounding; spill
+    and histogram terms stay exact f32.
     """
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
@@ -369,8 +377,9 @@ def banded_khop_aggregate(
             indices_are_sorted=True)
         out = out.reshape(K, N, D)
 
-    # exact counts (or exact-f32 weighted sums on gcn_norm plans): keep
-    # the histogram matmul at full precision like the pallas epilogue
+    # histogram matmul at full precision like the pallas epilogue (exact
+    # integer counts; exact-f32 weighted sums on gcn_norm plans — the
+    # bf16 rounding note in build_banded applies to the mask only)
     hi = jax.lax.Precision.HIGHEST
     t1 = table1.at[0].set(0.0)
     parts = [jnp.matmul(adj.counts1, t1, precision=hi)]

@@ -19,26 +19,12 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _chained_throughput(chained_fn, x0, edges, iters, chain):
-    f = jax.jit(chained_fn)
-    out = f(x0)
-    jax.block_until_ready(out)
-    best = 0.0
-    reps = max(iters // chain, 1)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(x0)
-        jax.block_until_ready(out)
-        best = max(best, reps * chain * edges / (time.perf_counter() - t0))
-    return best
+from ..utils.timing import chained_throughput as _chained_throughput
 
 
 def main(argv=None):

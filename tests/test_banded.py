@@ -162,6 +162,11 @@ def test_banded_gcn_norm_matches_coo():
         e = ei.shape[1]
         ea = rng.integers(1, VK, size=(e, K)).astype(np.int32)
         ea[:, 0] = rng.integers(1, V1, e)
+        # hop-DISTINCT liveness: different edges dead on different hops,
+        # so per-hop degrees (and the folded deg^-0.5 columns) differ —
+        # a hop-column mixing bug in the fold cannot pass
+        for k in range(K):
+            ea[rng.random(e) < 0.3 + 0.2 * k, k] = 0
         gs.append(Graph(num_nodes=n, edge_index=ei.astype(np.int32),
                         edge_attr=ea,
                         x=rng.normal(size=(n, 12)).astype(np.float32),
