@@ -172,14 +172,15 @@ def _bench_pallas_spmm(graphs, mcfg):
     return chained_throughput(fn, xs, union_edges, ITERS, chain)
 
 
-def _bench_large_graph():
-    """The Pallas backend's own regime: large sparse locally-structured
-    graphs (polymer-chain analog, n=8192) where dense n^2 hop tiles are
-    physically infeasible (one graph's (K, n, n) int32 tile = 805 MB) and
-    COO is the only alternative.  Reference workload analog:
+def _large_graph_setup():
+    """Shared setup for the large-graph block (also used by the clean
+    subprocess mode): polymer-chain analog, n=8192, where dense n^2 hop
+    tiles are physically infeasible (one graph's (K, n, n) int32 tile =
+    805 MB) and COO is the only alternative.  Reference workload analog:
     datasets/GraphPropertyDataset.py:131-219 at scaled-up n."""
     from kpgnn_tpu.data.synthetic import synthetic_polymers
-    from kpgnn_tpu.graph.batch import collate, collate_pallas
+    from kpgnn_tpu.graph.batch import (collate, collate_banded,
+                                       collate_pallas)
     from kpgnn_tpu.models import ModelConfig, make_model
 
     n_nodes, kk, batch = 8192, 3, 2
@@ -197,21 +198,54 @@ def _bench_large_graph():
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
     coo_b = collate(graphs)
     edges = [int(np.asarray(coo_b.adj.edge_mask).sum())]
-    out = {"n_nodes": n_nodes, "batch": batch, "K": kk,
-           "union_edges": edges[0],
-           "dense": "excluded: (K, n, n) hop tiles infeasible at n=8192"}
-    from kpgnn_tpu.graph.batch import collate_banded
     pallas_b = collate_pallas(graphs, v1=v1, vk=vk, tile_r=256,
                               wblock=512, egroup=4)
     banded_b = collate_banded(graphs, v1=v1, vk=vk)
-    for name, m, batches in (
-            ("coo", model, [coo_b]),
-            ("pallas", model, [pallas_b]),
-            ("banded", model, [banded_b]),
-            ("pallas_bf16", model_bf16, [pallas_b]),
-            ("banded_bf16", model_bf16, [banded_b])):
+    batches = {"coo": (model, coo_b), "pallas": (model, pallas_b),
+               "banded": (model, banded_b),
+               "pallas_bf16": (model_bf16, pallas_b),
+               "banded_bf16": (model_bf16, banded_b)}
+    meta = {"n_nodes": n_nodes, "batch": batch, "K": kk,
+            "union_edges": edges[0],
+            "dense": "excluded: (K, n, n) hop tiles infeasible at n=8192"}
+    return batches, edges, banded_b, (v1, vk, kk), meta
+
+
+def _large_graph_only(name):
+    """Subprocess mode: measure ONE large-graph backend in a clean
+    process and print one JSON line.  The banded full-step rate is
+    run-order-sensitive in a shared process (tune_banded measured
+    tile=128 at 78.7M after other executables vs 160.8M in its own
+    process — the TRAP-4 family in CLAUDE.md), so the two banded rows
+    are measured the way tune_banded proved honest."""
+    if os.environ.get("BENCH_SUBPROC_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
+    batches, edges, _, _, _ = _large_graph_setup()
+    m, b = batches[name]
+    val = round(_bench_backend(m, [b], edges), 1)
+    print(json.dumps({"metric": name, "value": val}))
+
+
+def _bench_large_graph():
+    """The Pallas/banded backends' own regime (see _large_graph_setup)."""
+    batches, edges, banded_b, (v1, vk, kk), out = _large_graph_setup()
+    for name, (m, b) in batches.items():
         try:
-            out[name] = round(_bench_backend(m, batches, edges), 1)
+            if name.startswith("banded"):
+                # clean subprocess: in-process runs measure banded 1.3-2x
+                # slow depending on what dispatched before it (TRAP 4)
+                import subprocess
+                env = dict(os.environ, BENCH_ONLY_LARGE=name,
+                           BENCH_SUBPROC_PLATFORM=jax.default_backend())
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, timeout=1200)
+                line = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                out[name] = json.loads(line)["value"]
+            else:
+                out[name] = round(_bench_backend(m, [b], edges), 1)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     try:
@@ -364,6 +398,9 @@ def _resident_bf16_only():
 def main():
     if os.environ.get("BENCH_ONLY_RESIDENT_BF16"):
         _resident_bf16_only()
+        return
+    if os.environ.get("BENCH_ONLY_LARGE"):
+        _large_graph_only(os.environ["BENCH_ONLY_LARGE"])
         return
     _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
     _deadline_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
