@@ -231,10 +231,10 @@ def _bench_large_graph():
     """The Pallas/banded backends' own regime (see _large_graph_setup)."""
     batches, edges, banded_b, (v1, vk, kk), out = _large_graph_setup()
     for name, (m, b) in batches.items():
-        try:
-            if name.startswith("banded"):
-                # clean subprocess: in-process runs measure banded 1.3-2x
-                # slow depending on what dispatched before it (TRAP 4)
+        if name.startswith("banded"):
+            # clean subprocess: in-process runs measure banded 1.3-2x
+            # slow depending on what dispatched before it (TRAP 4)
+            try:
                 import subprocess
                 env = dict(os.environ, BENCH_ONLY_LARGE=name,
                            BENCH_SUBPROC_PLATFORM=jax.default_backend())
@@ -244,8 +244,11 @@ def _bench_large_graph():
                 line = [ln for ln in proc.stdout.splitlines()
                         if ln.startswith("{")][-1]
                 out[name] = json.loads(line)["value"]
-            else:
-                out[name] = round(_bench_backend(m, [b], edges), 1)
+                continue
+            except Exception:
+                pass            # fall through to in-process measurement
+        try:
+            out[name] = round(_bench_backend(m, [b], edges), 1)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     try:
