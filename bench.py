@@ -33,7 +33,42 @@ import numpy as np
 # as the promised JSON line if a later stage hangs (a stuck remote
 # compile must not cost the whole bench)
 _partial: dict = {}
-_T0 = time.time()
+_children: list = []     # live measurement subprocesses; the deadline
+_T0 = time.time()        # watchdog must kill them before os._exit or an
+                         # orphan keeps the TPU busy into the next run
+
+
+def _run_subprocess_metric(env_key: str, env_val: str, metric: str,
+                           timeout: float):
+    """Run bench.py as a clean-process child measuring ONE metric.
+
+    Returns the measured float or raises.  Validates returncode and the
+    echoed metric name: the child's own device watchdog prints a
+    value-0.0 outage line under a DIFFERENT metric name, which must
+    trigger the fallback, not be recorded as a throughput (advisor
+    r4 finding, bench.py:246)."""
+    import subprocess
+    env = dict(os.environ, **{env_key: env_val},
+               BENCH_SUBPROC_PLATFORM=jax.default_backend())
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _children.append(proc)
+    try:
+        stdout, _ = proc.communicate(timeout=timeout)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        _children.remove(proc)
+    if proc.returncode != 0:
+        raise RuntimeError(f"subprocess rc={proc.returncode}")
+    line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    if rec.get("metric") != metric or not isinstance(
+            rec.get("value"), (int, float)):
+        raise RuntimeError(f"subprocess emitted {rec.get('metric')!r}, "
+                           f"wanted {metric!r}")
+    return float(rec["value"])
 
 
 def _mark(stage: str) -> None:
@@ -230,23 +265,21 @@ def _large_graph_only(name):
 def _bench_large_graph():
     """The Pallas/banded backends' own regime (see _large_graph_setup)."""
     batches, edges, banded_b, (v1, vk, kk), out = _large_graph_setup()
-    for name, (m, b) in batches.items():
+    _partial["large_graph"] = out   # mutated in place: partial results
+    for name, (m, b) in batches.items():   # survive a deadline fire
         if name.startswith("banded"):
             # clean subprocess: in-process runs measure banded 1.3-2x
             # slow depending on what dispatched before it (TRAP 4)
             try:
-                import subprocess
-                env = dict(os.environ, BENCH_ONLY_LARGE=name,
-                           BENCH_SUBPROC_PLATFORM=jax.default_backend())
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)], env=env,
-                    capture_output=True, text=True, timeout=1200)
-                line = [ln for ln in proc.stdout.splitlines()
-                        if ln.startswith("{")][-1]
-                out[name] = json.loads(line)["value"]
+                out[name] = _run_subprocess_metric(
+                    "BENCH_ONLY_LARGE", name, name, timeout=1200)
                 continue
-            except Exception:
-                pass            # fall through to in-process measurement
+            except Exception as e:
+                # the in-process fallback number is known-depressed
+                # (~35%); tag it so it is never published as clean
+                out[name + "_in_process"] = True
+                out[name + "_subproc_error"] = \
+                    f"{type(e).__name__}: {e}"[:120]
         try:
             out[name] = round(_bench_backend(m, [b], edges), 1)
         except Exception as e:
@@ -355,6 +388,11 @@ def _deadline_watchdog(deadline_s: float):
 
     def fire():
         time.sleep(deadline_s)
+        for proc in list(_children):    # never orphan a child on the TPU
+            try:
+                proc.kill()
+            except Exception:
+                pass
         backends = _partial.get("backends", {})
         numeric = {k: v for k, v in backends.items()
                    if isinstance(v, float) and k != "dense_bf16"}
@@ -447,15 +485,9 @@ def main():
         # measured first, or alone, is faster than f32.  The remote
         # compile cache is shared across processes, so the subprocess
         # costs one warm compile, not a cold one.
-        import subprocess
-        env = dict(os.environ, BENCH_ONLY_RESIDENT_BF16="1",
-                   BENCH_SUBPROC_PLATFORM=jax.default_backend())
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              timeout=1500)
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        backends["dense_resident_bf16"] = json.loads(line)["value"]
+        backends["dense_resident_bf16"] = _run_subprocess_metric(
+            "BENCH_ONLY_RESIDENT_BF16", "1", "dense_resident_bf16",
+            timeout=1500)
     except Exception as e:
         backends["dense_resident_bf16"] = \
             f"error: {type(e).__name__}: {e}"[:120]

@@ -212,6 +212,12 @@ def khop_aggregate_adj(
     # ---- dense path ----
     B, n = adj.B, adj.n
     D = x.shape[-1]
+    if aggr == "max" and not hop_major:
+        if scale is not None or sender_scale is not None:
+            raise ValueError("aggr='max' composes with no edge scales "
+                             "(the reference only pairs max with "
+                             "KPGraphSAGE, which is unscaled)")
+        return _dense_max(adj, x, table1, tablek)
     if hop_major:
         if scale is not None or sender_scale is not None or aggr != "add":
             # scaled/mean variants are node-major-only (no hop-major
@@ -255,6 +261,37 @@ def khop_aggregate_adj(
     elif aggr != "add":
         raise ValueError(f"dense adjacency does not support aggr={aggr!r}")
     return out.reshape(-1, K, D)
+
+
+def _dense_max(adj: DenseAdj, x, table1, tablek) -> jnp.ndarray:
+    """Reference max semantics on the dense layout
+    (layers/KPGraphSAGE.py:104 + PyG scatter amax, include_self=False):
+    per (receiver i, hop k), max over the receiver's UNION edges of the
+    masked message — live edges contribute x_j + emb(attr), union edges
+    dead at hop k contribute literal 0.0, receivers with no union edges
+    read 0.  Needs per-pair attr codes, so it materializes (B, n, n, D)
+    messages one hop at a time (max does not factor into the counts @
+    table embedding fold the add path uses)."""
+    from ..nn.embed import small_table_lookup
+
+    B, K, n = adj.B, adj.K, adj.n
+    D = x.shape[-1]
+    xb = x.reshape(B, n, K, D)
+    union_deg = (adj.hop_attr > 0).any(axis=1).sum(axis=-1)      # (B, n)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    outs = []
+    for k in range(K):
+        table = (table1 if k == 0 else tablek).astype(x.dtype)
+        attr = adj.hop_attr[:, k]                                # (B, n, n)
+        emb = small_table_lookup(table, attr)                    # (B,n,n,D)
+        msg = xb[:, None, :, k, :] + emb      # [b, i, j, d]
+        live = (attr > 0)[..., None]
+        live_max = jnp.max(jnp.where(live, msg, neg), axis=2)    # (B, n, D)
+        live_deg = (attr > 0).sum(axis=-1)                       # (B, n)
+        has_dead = (union_deg > live_deg)[..., None]
+        out = jnp.where(has_dead, jnp.maximum(live_max, 0.0), live_max)
+        outs.append(jnp.where(jnp.isneginf(out), 0.0, out))
+    return jnp.stack(outs, axis=2).reshape(B * n, K, D)
 
 
 def _dense_weighted_emb(adj: DenseAdj, sender_scale, table1, tablek, dtype):

@@ -395,5 +395,11 @@ def banded_khop_aggregate(
         deg = jnp.maximum(adj.union_deg, 1.0)[None, :, None]
         out = out / deg.astype(out.dtype)
     elif aggr != "add":
-        raise ValueError(f"banded backend does not support aggr={aggr!r}")
+        # max needs per-pair attr codes to build each message; the
+        # banded plan deliberately stores only attr histograms (the
+        # counts @ table fold that makes it fast) — SAGE aggr='max'
+        # runs on the coo or dense backend instead
+        raise ValueError(f"banded backend does not support aggr={aggr!r}:"
+                         " the plan keeps attr histograms, not per-edge "
+                         "codes; use the coo or dense backend for max")
     return out.astype(out_dtype)

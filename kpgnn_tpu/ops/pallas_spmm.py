@@ -911,5 +911,10 @@ def khop_spmm(x: jnp.ndarray, table1: jnp.ndarray,
         deg = (deg[None, :, None] if hop_major else deg[:, None, None])
         out = out / deg.astype(out.dtype)
     elif aggr != "add":
-        raise ValueError(f"pallas backend does not support aggr={aggr!r}")
+        # the kernel's one-hot matmul formulation is sum-shaped; max
+        # does not factor through it — SAGE aggr='max' runs on the coo
+        # or dense backend instead
+        raise ValueError(f"pallas backend does not support aggr={aggr!r}:"
+                         " the one-hot matmul kernel is sum-only; use "
+                         "the coo or dense backend for max")
     return out.astype(out_dtype)

@@ -156,7 +156,15 @@ def khop_aggregate(
             indices_are_sorted=True)
         return total / jnp.maximum(cnt, 1.0)[:, None, None]
     if aggr == "max":
-        msg = jnp.where(live, msg, -jnp.inf)
+        # Reference semantics: PyG aggregates the MASKED messages, so a
+        # union edge dead at hop k contributes a literal 0.0 to the max
+        # (layers/KPGraphSAGE.py:104 masked_fill(mask==0, 0.) feeds the
+        # scatter; torch scatter_reduce(amax, include_self=False) then
+        # maxes over every union-edge message).  Only PADDED edges are
+        # excluded entirely; receivers with no union edges read 0.
+        # `msg` is already where(live, msg, 0.0) from above.
+        if edge_mask is not None:
+            msg = jnp.where(edge_mask[:, None, None], msg, -jnp.inf)
         out = jax.ops.segment_max(
             msg, receivers, num_segments=n, indices_are_sorted=True)
         return jnp.where(jnp.isfinite(out), out, 0.0)

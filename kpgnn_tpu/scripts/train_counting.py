@@ -29,12 +29,22 @@ def main(argv=None):
     # the upstream randomgraph.mat held ~5k graphs; smaller sets are
     # measurably sample-starved (std-MAE 0.075 at 1500 vs 0.016 at 5000)
     p.add_argument("--n_graphs", type=int, default=5000)
+    # "full" = the reference's protocol: std over the WHOLE dataset,
+    # Bessel-corrected (train_structure_counting.py:203 does
+    # dataset.data.y.std(0) before splitting; torch std is ddof=1).
+    # Used by the matched-run comparison (tools/match_reference_run.py)
+    # so both sides train on identically-scaled labels.
+    p.add_argument("--ystd", choices=("train", "full"), default="train")
     args = p.parse_args(argv)
     save_dir, logger = setup_run(args, f"count{args.task}")
 
     data = generate_counting_dataset(args.n_graphs, seed=1234)
     t = args.task
-    ystd = np.std([g["y"][t] for g in data["train"]])
+    if args.ystd == "full":
+        ystd = np.std([g["y"][t] for split in data.values()
+                       for g in split], ddof=1)
+    else:
+        ystd = np.std([g["y"][t] for g in data["train"]])
     for split in data.values():
         for g in split:
             g["y"] = np.array([g["y"][t] / ystd], np.float32)

@@ -53,6 +53,7 @@ def real_rows(batch):
     (KPGCNConv, {}),
     (KPGraphSAGEConv, {"aggr": "mean"}),
     (KPGraphSAGEConv, {"aggr": "add"}),
+    (KPGraphSAGEConv, {"aggr": "max"}),
 ])
 def test_layer_dense_equals_coo(cls, kw):
     K = 3
@@ -95,6 +96,58 @@ def test_kpginplus_slice_dense_equals_coo():
     # BN stats differ: COO batch has 64 mask-counted rows vs dense 30?
     # no — masked BN counts only real rows, identical sets. Must match.
     assert np.allclose(a, b, atol=1e-4), np.abs(a - b).max()
+
+
+def test_khop_max_matches_reference_oracle():
+    """aggr='max' reference semantics on COO and dense vs a literal
+    numpy oracle: PyG maxes the MASKED messages, so union edges dead at
+    hop k contribute 0.0 and empty receivers read 0
+    (reference: layers/KPGraphSAGE.py:104 masked_fill + scatter amax,
+    include_self=False)."""
+    from kpgnn_tpu.ops.adjacency import khop_aggregate_adj
+
+    K, D = 3, 5
+    gs = graphs_case(K, seed=11)
+    coo, dense = both_batches(gs, K)
+    rng = np.random.default_rng(3)
+    # strictly negative features make the masked-as-0 candidates load-
+    # bearing: excluding them (the old bug) yields negative maxima
+    x = -np.abs(rng.normal(size=(coo.n_pad, K, D))).astype(np.float32) - 0.1
+    t1 = rng.normal(size=(V1, D)).astype(np.float32)
+    tk = rng.normal(size=(VK, D)).astype(np.float32)
+
+    snd = np.asarray(coo.adj.senders)
+    rcv = np.asarray(coo.adj.receivers)
+    attr = np.asarray(coo.adj.edge_attr)
+    mask = np.asarray(coo.adj.edge_mask)
+    want = np.zeros((coo.n_pad, K, D), np.float32)
+    for i in range(coo.n_pad):
+        for k in range(K):
+            cands = []
+            for e in np.flatnonzero(mask & (rcv == i)):
+                if attr[e, k] > 0:
+                    tab = t1 if k == 0 else tk
+                    cands.append(x[snd[e], k] + tab[attr[e, k]])
+                else:
+                    cands.append(np.zeros(D, np.float32))
+            if cands:
+                want[i, k] = np.max(np.stack(cands), axis=0)
+
+    got_coo = np.asarray(khop_aggregate_adj(
+        coo.adj, jnp.asarray(x), jnp.asarray(t1), jnp.asarray(tk),
+        aggr="max"))
+    assert np.allclose(got_coo, want, atol=1e-5), \
+        np.abs(got_coo - want).max()
+
+    # dense: same graphs live in per-graph slots; map node rows over
+    x_d = np.zeros((dense.n_pad, K, D), np.float32)
+    rows_c, rows_d = real_rows(coo), real_rows(dense)
+    x_d[rows_d] = x[rows_c]
+    got_dense = np.asarray(khop_aggregate_adj(
+        dense.adj, jnp.asarray(x_d), jnp.asarray(t1), jnp.asarray(tk),
+        aggr="max"))
+    assert np.allclose(got_dense[rows_d], want[rows_c], atol=1e-5), \
+        np.abs(got_dense[rows_d] - want[rows_c]).max()
 
 
 def test_full_model_dense_equals_coo():

@@ -61,6 +61,12 @@ class Data:
     def num_nodes(self, v):
         self.__dict__["__num_nodes__"] = v
 
+    def to(self, device, **_):
+        for k, v in self.__dict__.items():
+            if torch.is_tensor(v):
+                self.__dict__[k] = v.to(device)
+        return self
+
 
 class Batch(Data):
     """Concatenated graphs with a `batch` graph-id vector."""
@@ -93,18 +99,189 @@ class Batch(Data):
 
 
 class DataLoader:
-    """Minimal map-style loader: yields Batch.from_data_list chunks."""
+    """Minimal map-style loader: yields Batch.from_data_list chunks.
+
+    `shuffle=True` draws a fresh torch.randperm each epoch from the
+    global torch RNG — the same RNG `seed_everything` seeds, matching
+    the reference scripts' sampling protocol."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, **_):
-        assert not shuffle, "shim DataLoader is deterministic-only"
         self.dataset, self.batch_size = list(dataset), batch_size
+        self.shuffle = shuffle
 
     def __iter__(self):
-        for i in range(0, len(self.dataset), self.batch_size):
-            yield Batch.from_data_list(self.dataset[i:i + self.batch_size])
+        ds = self.dataset
+        if self.shuffle:
+            ds = [ds[i] for i in torch.randperm(len(ds)).tolist()]
+        for i in range(0, len(ds), self.batch_size):
+            yield Batch.from_data_list(ds[i:i + self.batch_size])
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+
+# ----------------------------------------------------------- dataset --
+class _Subset:
+    """Index-view over an InMemoryDataset (what `dataset[mask]` returns).
+
+    Supports the reference scripts' usage: len(), iteration, int
+    indexing, and nested boolean/long-tensor subsetting
+    (train_EXP.py:276-281 masks a subset of a subset)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset, self.indices = dataset, list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, int):
+            return self.dataset[self.indices[idx]]
+        sub = _resolve_indices(idx, len(self))
+        return _Subset(self.dataset, [self.indices[i] for i in sub])
+
+    def __iter__(self):
+        for i in self.indices:
+            yield self.dataset[i]
+
+
+def _resolve_indices(idx, n):
+    """bool mask / long tensor / list / slice -> python index list."""
+    if isinstance(idx, slice):
+        return list(range(n))[idx]
+    if torch.is_tensor(idx):
+        if idx.dtype == torch.bool:
+            return idx.nonzero(as_tuple=False).view(-1).tolist()
+        return idx.view(-1).tolist()
+    return list(idx)
+
+
+class InMemoryDataset:
+    """torch_geometric.data.InMemoryDataset subset: process-once cache,
+    collate/separate, indexing.  Storage format is shim-private (both
+    the producer `self.collate` and the consumer `self.get` live here):
+    per-key concatenated tensors + boundary slices, edge_index along
+    dim 1 WITHOUT node offsets (so `get` is a pure slice)."""
+
+    def __init__(self, root, transform=None, pre_transform=None,
+                 pre_filter=None):
+        import os
+
+        self.root, self.transform = root, transform
+        self.pre_transform, self.pre_filter = pre_transform, pre_filter
+        self.data = self.slices = None
+        os.makedirs(self.raw_dir, exist_ok=True)
+        os.makedirs(self.processed_dir, exist_ok=True)
+        if not all(os.path.exists(p) for p in self.processed_paths):
+            self.download()
+            self.process()
+
+    @property
+    def raw_dir(self):
+        import os
+        return os.path.join(self.root, "raw")
+
+    @property
+    def processed_dir(self):
+        import os
+        return os.path.join(self.root, "processed")
+
+    @property
+    def raw_paths(self):
+        import os
+        names = self.raw_file_names
+        if isinstance(names, str):
+            names = [names]
+        return [os.path.join(self.raw_dir, n) for n in names]
+
+    @property
+    def processed_paths(self):
+        import os
+        names = self.processed_file_names
+        if isinstance(names, str):
+            names = [names]
+        return [os.path.join(self.processed_dir, n) for n in names]
+
+    def download(self):
+        pass
+
+    def collate(self, data_list):
+        data, slices = Data(), {}
+        keys = [k for k in data_list[0].keys if k != "__num_nodes__"]
+        for k in keys:
+            vals = [d.__dict__[k] if torch.is_tensor(d.__dict__[k])
+                    else torch.tensor(d.__dict__[k]) for d in data_list]
+            if vals[0].dim() == 0:
+                vals = [v.unsqueeze(0) for v in vals]
+            dim = 1 if k == "edge_index" else 0
+            data.__dict__[k] = torch.cat(vals, dim=dim)
+            bounds = torch.zeros(len(vals) + 1, dtype=torch.long)
+            torch.cumsum(torch.tensor([v.shape[dim] for v in vals]),
+                         0, out=bounds[1:])
+            slices[k] = bounds
+        slices["__num_nodes__"] = torch.tensor(
+            [d.num_nodes for d in data_list])
+        return data, slices
+
+    def get(self, idx):
+        out = Data()
+        for k, bounds in self.slices.items():
+            if k == "__num_nodes__":
+                out.num_nodes = int(bounds[idx])
+                continue
+            lo, hi = int(bounds[idx]), int(bounds[idx + 1])
+            v = self.data.__dict__[k]
+            out.__dict__[k] = v[:, lo:hi] if k == "edge_index" else v[lo:hi]
+        return out
+
+    def __len__(self):
+        return int(self.slices["__num_nodes__"].shape[0])
+
+    def __getitem__(self, idx):
+        if isinstance(idx, int):
+            d = self.get(idx)
+            return d if self.transform is None else self.transform(d)
+        return _Subset(self, _resolve_indices(idx, len(self)))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    @property
+    def num_classes(self):
+        return int(self.data.y.max()) + 1
+
+
+class Compose:
+    """torch_geometric.transforms.Compose."""
+
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, data):
+        for t in self.transforms:
+            data = t(data)
+        return data
+
+
+def seed_everything(seed):
+    """torch_geometric.seed.seed_everything."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+    torch.manual_seed(seed)
+
+
+class DataParallel(nn.Module):
+    """Import-surface stub: reference scripts import it unconditionally
+    but only construct it when --parallel with >1 GPU (never here)."""
+
+    def __init__(self, *a, **k):
+        super().__init__()
+        raise NotImplementedError("pyg_shim is single-process CPU only")
 
 
 # ----------------------------------------------------------- scatter --
@@ -293,24 +470,47 @@ def install():
     pkg = types.ModuleType("torch_geometric")
     data_m = types.ModuleType("torch_geometric.data")
     data_m.Data, data_m.Batch, data_m.DataLoader = Data, Batch, DataLoader
+    data_m.InMemoryDataset = InMemoryDataset
+    # old-PyG pickles (EXP's GRAPHSAT.pkl) reference
+    # `torch_geometric.data.data Data`
+    data_data_m = types.ModuleType("torch_geometric.data.data")
+    data_data_m.Data = Data
+    data_m.data = data_data_m
     loader_m = types.ModuleType("torch_geometric.loader")
     loader_m.DataLoader = DataLoader
+    loader_m.DataListLoader = DataLoader
     nn_m = types.ModuleType("torch_geometric.nn")
     for name in ("MessagePassing", "BatchNorm", "LayerNorm",
                  "InstanceNorm", "PairNorm", "GraphSizeNorm",
                  "global_add_pool", "global_mean_pool", "global_max_pool",
-                 "AttentionalAggregation"):
+                 "AttentionalAggregation", "DataParallel"):
         setattr(nn_m, name, globals()[name])
     utils_m = types.ModuleType("torch_geometric.utils")
     utils_m.add_self_loops = add_self_loops
     utils_m.to_scipy_sparse_matrix = to_scipy_sparse_matrix
+    transforms_m = types.ModuleType("torch_geometric.transforms")
+    transforms_m.Compose = Compose
+    seed_m = types.ModuleType("torch_geometric.seed")
+    seed_m.seed_everything = seed_everything
     pkg.data, pkg.loader, pkg.nn, pkg.utils = (data_m, loader_m, nn_m,
                                                utils_m)
+    pkg.transforms, pkg.seed = transforms_m, seed_m
+    pkg.seed_everything = seed_everything
     pkg.__shim__ = True
     for name, mod in (("torch_geometric", pkg),
                       ("torch_geometric.data", data_m),
+                      ("torch_geometric.data.data", data_data_m),
                       ("torch_geometric.loader", loader_m),
                       ("torch_geometric.nn", nn_m),
-                      ("torch_geometric.utils", utils_m)):
+                      ("torch_geometric.utils", utils_m),
+                      ("torch_geometric.transforms", transforms_m),
+                      ("torch_geometric.seed", seed_m)):
         sys.modules[name] = mod
+    # torch>=2.6 defaults torch.load(weights_only=True); the reference
+    # datasets torch.load their own torch.save'd (Data, slices) caches,
+    # so the shim Data must be an allowed global
+    try:
+        torch.serialization.add_safe_globals([Data])
+    except AttributeError:
+        pass
     return pkg
