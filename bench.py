@@ -251,15 +251,64 @@ def _large_graph_only(name):
     process and print one JSON line.  The banded full-step rate is
     run-order-sensitive in a shared process (tune_banded measured
     tile=128 at 78.7M after other executables vs 160.8M in its own
-    process — the TRAP-4 family in CLAUDE.md), so the two banded rows
-    are measured the way tune_banded proved honest."""
+    process — the TRAP-4 family in CLAUDE.md), so the banded rows are
+    measured the way tune_banded proved honest."""
     if os.environ.get("BENCH_SUBPROC_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
-    batches, edges, _, _, _ = _large_graph_setup()
-    m, b = batches[name]
-    val = round(_bench_backend(m, [b], edges), 1)
+    if name.startswith("banded_resident"):
+        val = round(_bench_large_resident("bf16" in name), 1)
+    else:
+        batches, edges, _, _, _ = _large_graph_setup()
+        m, b = batches[name]
+        val = round(_bench_backend(m, [b], edges), 1)
     print(json.dumps({"metric": name, "value": val}))
+
+
+def _bench_large_resident(bf16: bool):
+    """Large-graph resident path: the whole polymer dataset in HBM as a
+    BandedStore, each epoch ONE lax.scan dispatch (train/resident.py) —
+    removes the ~0.25 ms/step host-dispatch floor the per-batch banded
+    rows still pay (VERDICT r4 item 4).  8 graphs, batch 2 -> 4 scan
+    steps per dispatch."""
+    from kpgnn_tpu.data.synthetic import synthetic_polymers
+    from kpgnn_tpu.models import ModelConfig, make_model
+    from kpgnn_tpu.train import (build_banded_store, create_train_state,
+                                 epoch_index_chunks, gather_banded_batch,
+                                 make_resident_train_epoch)
+
+    n_nodes, kk, batch, n_graphs = 8192, 3, 2, 8
+    graphs = synthetic_polymers(n_graphs, n_nodes, K=kk, seed=0)
+    mcfg = ModelConfig(
+        model_name="KPGIN", hidden_size=102, num_layer=3, K=kk,
+        num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
+        max_edge_count=20, max_hop_num=6, max_distance_count=30,
+        JK="last", combine="attention", residual=True,
+        input_encoder=("embedding", 21),
+        task="graph_regression", pooling_method="sum",
+        compute_dtype="bfloat16" if bf16 else "float32")
+    model = make_model(mcfg)
+    v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+    store = build_banded_store(graphs, v1, vk)
+    chunks = jnp.asarray(epoch_index_chunks(
+        np.arange(n_graphs), batch, store.num_graphs))
+    example = gather_banded_batch(store, chunks[0])
+    state, tx = create_train_state(model, example, jax.random.PRNGKey(0),
+                                   1e-3)
+    ep = make_resident_train_epoch(model, tx, loss="l1")
+    rng = jax.random.PRNGKey(1)
+    state, ls, cnt = ep(state, store, chunks, rng)       # compile+warmup
+    jax.block_until_ready(ls)
+    per_epoch = sum(g.num_edges for g in graphs)
+    n_epochs = max(ITERS // max(n_graphs // batch, 1), 1)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state, ls, cnt = ep(state, store, chunks, rng)
+        jax.block_until_ready(ls)
+        best = max(best, n_epochs * per_epoch / (time.perf_counter() - t0))
+    return best
 
 
 def _bench_large_graph():
@@ -282,6 +331,14 @@ def _bench_large_graph():
                     f"{type(e).__name__}: {e}"[:120]
         try:
             out[name] = round(_bench_backend(m, [b], edges), 1)
+        except Exception as e:
+            out[name] = f"error: {type(e).__name__}: {e}"[:120]
+    for name in ("banded_resident", "banded_resident_bf16"):
+        # the large-graph resident path (one-scan epochs over a
+        # BandedStore); clean subprocess like every banded row
+        try:
+            out[name] = _run_subprocess_metric(
+                "BENCH_ONLY_LARGE", name, name, timeout=1200)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     try:

@@ -78,6 +78,11 @@ class BandedAdj:
     # time — callers must then NOT pass sender_scale (KPGCNConv detects
     # this and passes only the receiver-side scale)
     sender_scaled: bool = struct.field(pytree_node=False, default=False)
+    # build_banded emits row-sorted spill lists; the resident
+    # BandedStore's on-device batch assembly (train/resident.py)
+    # interleaves per-graph lists across the hop-major row space, so it
+    # clears this and the spill segment_sum drops the sortedness hint
+    spill_sorted: bool = struct.field(pytree_node=False, default=True)
     tile: int = struct.field(pytree_node=False, default=BANDED_TILE)
     halo: int = struct.field(pytree_node=False, default=0)
     n_hops: int = struct.field(pytree_node=False, default=1)
@@ -146,7 +151,8 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
                  halo_cap: int = DEFAULT_HALO_CAP,
                  n_cols: Optional[int] = None,
                  spill_pad: Optional[int] = None,
-                 sender_weights=None) -> BandedAdj:
+                 sender_weights=None,
+                 as_numpy: bool = False) -> BandedAdj:
     """Host-side plan: per-hop live masks over static halo windows,
     attr-code histograms, out-of-band spill.
 
@@ -253,9 +259,10 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
             cols = np.concatenate([cols, np.zeros(pad, np.int64)])
             if wts is not None:
                 wts = np.concatenate([wts, np.zeros(pad, np.float32)])
-        spill_rows = jnp.asarray(rows.astype(np.int32))
-        spill_senders = jnp.asarray(cols.astype(np.int32))
-        spill_weights = jnp.asarray(wts) if wts is not None else None
+        wrap = (lambda a: a) if as_numpy else jnp.asarray
+        spill_rows = wrap(rows.astype(np.int32))
+        spill_senders = wrap(cols.astype(np.int32))
+        spill_weights = wrap(wts) if wts is not None else None
         if spill_pad is None:
             spill_hop_ends = tuple(
                 int(np.searchsorted(rows, (k + 1) * n_nodes))
@@ -284,12 +291,16 @@ def build_banded(receivers, senders, attr, n_nodes: int, v1: int, vk: int,
         [np.bincount(receivers[attr[:, k] > 0], minlength=n_nodes)
          for k in range(K)], axis=1).astype(np.float32)
 
+    # as_numpy: host-side plan (the resident BandedStore stacks many
+    # per-graph plans into one device transfer — per-plan jnp.asarray
+    # would round-trip the device G times)
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
     return BandedAdj(
-        live=jnp.asarray(live),
-        counts1=jnp.asarray(counts1),
-        countsk=jnp.asarray(countsk) if countsk is not None else None,
-        union_deg=jnp.asarray(union_deg),
-        hop_deg=jnp.asarray(hop_deg),
+        live=wrap(live),
+        counts1=wrap(counts1),
+        countsk=wrap(countsk) if countsk is not None else None,
+        union_deg=wrap(union_deg),
+        hop_deg=wrap(hop_deg),
         spill_senders=spill_senders,
         spill_rows=spill_rows,
         spill_weights=spill_weights,
@@ -374,7 +385,7 @@ def banded_khop_aggregate(
                 out.dtype)
         out = out.reshape(K * N, D) + jax.ops.segment_sum(
             gathered, adj.spill_rows, num_segments=K * N,
-            indices_are_sorted=True)
+            indices_are_sorted=adj.spill_sorted)
         out = out.reshape(K, N, D)
 
     # histogram matmul at full precision like the pallas epilogue (exact

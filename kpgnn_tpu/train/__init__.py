@@ -10,8 +10,12 @@ from .loop import (
 from .lr import ReduceLROnPlateau, StepDecay
 from .resident import (
     DenseStore,
+    BandedStore,
     build_dense_store,
+    build_banded_store,
     gather_batch,
+    gather_banded_batch,
+    plan_banded_store_shapes,
     epoch_index_chunks,
     parallel_epoch_index_chunks,
     make_resident_train_epoch,
@@ -29,6 +33,8 @@ __all__ = [
     "make_train_step", "make_eval_step", "train_epoch", "evaluate", "Trainer",
     "ReduceLROnPlateau", "StepDecay", "GraphLoader",
     "DenseStore", "build_dense_store", "gather_batch",
+    "BandedStore", "build_banded_store", "gather_banded_batch",
+    "plan_banded_store_shapes",
     "epoch_index_chunks", "make_resident_train_epoch", "make_resident_eval",
     "parallel_epoch_index_chunks", "make_parallel_resident_train_epoch",
     "make_parallel_resident_eval",

@@ -326,20 +326,31 @@ class Trainer:
             return (getattr(l, "mode", None) == "coo"
                     and hasattr(l, "graphs"))
 
+        def _banded_loader(l):
+            return (getattr(l, "mode", None) == "banded"
+                    and hasattr(l, "graphs"))
+
         def _resident_loader(l):
-            return _dense_loader(l) or _coo_loader(l)
+            return _dense_loader(l) or _coo_loader(l) or _banded_loader(l)
 
         use_resident = ((self.mesh is None or self.parallel_mode == "data")
                         and self.resident != "off"
                         and _resident_loader(train_loader))
         if use_resident and self.resident == "auto":
             import os as _os
-            from .resident import coo_store_nbytes, store_nbytes
+            from .resident import (banded_store_nbytes, coo_store_nbytes,
+                                   plan_banded_store_shapes, store_nbytes)
             cap = float(_os.environ.get("KPGNN_RESIDENT_MAX_BYTES",
                                         4 << 30))
             gs = train_loader.graphs
             if _dense_loader(train_loader):
                 nbytes = store_nbytes(gs, train_loader.n_slot)
+                use_resident = nbytes <= cap
+            elif _banded_loader(train_loader):
+                bt, bh, bn, bs_ = plan_banded_store_shapes(gs)
+                nbytes = banded_store_nbytes(gs, bn, bt, bh, bs_,
+                                             train_loader.v1,
+                                             train_loader.vk)
                 use_resident = nbytes <= cap
             else:
                 ns = max(g.num_nodes for g in gs)
@@ -364,16 +375,23 @@ class Trainer:
                                    make_resident_eval,
                                    make_resident_train_epoch)
 
-            # COO stores need uniform slots across train/val/test so the
-            # scan bodies compile once per split shape
+            # COO/banded stores need uniform slots across train/val/test
+            # so the scan bodies compile once per split shape
             coo_mode = _coo_loader(train_loader)
-            if coo_mode:
+            banded_mode = _banded_loader(train_loader)
+            if coo_mode or banded_mode:
+                check = _coo_loader if coo_mode else _banded_loader
                 all_graphs = list(train_loader.graphs)
                 for l in (val_loader, test_loader):
-                    if l is not None and _coo_loader(l):
+                    if l is not None and check(l):
                         all_graphs += list(l.graphs)
+            if coo_mode:
                 coo_n_slot = max(g.num_nodes for g in all_graphs)
                 coo_e_slot = max(g.num_edges for g in all_graphs)
+            if banded_mode:
+                from .resident import (build_banded_store,
+                                       plan_banded_store_shapes)
+                banded_shapes = plan_banded_store_shapes(all_graphs)
 
             def store_for(loader):
                 key = id(loader.graphs)
@@ -382,6 +400,12 @@ class Trainer:
                         stores[key] = build_coo_store(
                             loader.graphs, coo_n_slot, coo_e_slot,
                             loader.y_is_node_level)
+                    elif banded_mode:
+                        stores[key] = build_banded_store(
+                            loader.graphs, loader.v1, loader.vk,
+                            loader.y_is_node_level,
+                            gcn_norm=loader.banded_gcn_norm,
+                            shapes=banded_shapes)
                     else:
                         stores[key] = build_dense_store(
                             loader.graphs, loader.n_slot, loader.v1,

@@ -314,10 +314,261 @@ def gather_coo_batch(store: COOStore, idx: jnp.ndarray) -> GraphBatch:
     )
 
 
+@struct.dataclass
+class BandedStore:
+    """Per-graph banded plans, leading dim Gs = num_graphs + 1 — the
+    large-graph regime's resident store (the banded backend wins that
+    regime but per-batch dispatch pays the ~0.25 ms tunnel floor per
+    step; VERDICT r4 item 4).
+
+    Every graph's plan shares (tile, halo, spill_pad, n_slot) so a batch
+    assembles on device by pure stacking: window masks concatenate along
+    the tile axis, per-node fields along the node axis, and the
+    spill lists remap from per-graph hop-major rows (k·n + r) to batch
+    hop-major rows (k·B·n + b·n + r).  Dropped/pad spill entries carry
+    the per-graph sentinel row K·n, which remaps to >= K·B·n and keeps
+    dropping.  Last slot = empty pad graph."""
+
+    live: jnp.ndarray                     # (Gs, K, T, tile, win)
+    counts1: jnp.ndarray                  # (Gs, n, V1) f32
+    countsk: Optional[jnp.ndarray]        # (Gs, n, K-1, Vk) | None
+    union_deg: jnp.ndarray                # (Gs, n)
+    hop_deg: jnp.ndarray                  # (Gs, n, K)
+    spill_rows: Optional[jnp.ndarray]     # (Gs, S) int32, k*n + r
+    spill_senders: Optional[jnp.ndarray]  # (Gs, S) int32, k*n + s
+    spill_weights: Optional[jnp.ndarray]  # (Gs, S) f32 | None
+    x: jnp.ndarray                        # (Gs, n, ...)
+    node_mask: jnp.ndarray                # (Gs, n) bool
+    graph_valid: jnp.ndarray              # (Gs,) bool
+    pe_attr: Optional[jnp.ndarray]
+    peripheral_edge_attr: Optional[jnp.ndarray]
+    peripheral_config_attr: Optional[jnp.ndarray]
+    rd: Optional[jnp.ndarray]
+    z: Optional[jnp.ndarray]
+    pos: Optional[jnp.ndarray]
+    y: Optional[jnp.ndarray]
+    tile: int = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    sender_scaled: bool = struct.field(pytree_node=False)
+    y_is_node_level: bool = struct.field(pytree_node=False)
+
+    @property
+    def num_graphs(self) -> int:
+        return self.live.shape[0] - 1
+
+    @property
+    def n_slot(self) -> int:
+        return self.node_mask.shape[-1]
+
+    @property
+    def n_hops(self) -> int:
+        return self.live.shape[1]
+
+
+def banded_store_nbytes(graphs: Sequence[Graph], n_slot: int, tile: int,
+                        halo: int, spill_pad: int, v1: int,
+                        vk: int) -> int:
+    """Cheap upper-bound estimate of a BandedStore's HBM footprint."""
+    g = graphs[0]
+    Gs = len(graphs) + 1
+    K = g.K
+    T = n_slot // tile
+    win = tile + 2 * halo
+    per = K * T * tile * win                      # live int8
+    per += 4 * n_slot * (v1 + (K - 1) * vk + 1 + K)   # counts + degs
+    per += spill_pad * 8
+    for f in ("x", "pe_attr", "peripheral_edge_attr",
+              "peripheral_config_attr", "rd", "z", "pos"):
+        a = getattr(g, f, None)
+        if a is not None:
+            a = np.asarray(a)
+            per += 4 * n_slot * int(np.prod(a.shape[1:], dtype=np.int64))
+    return Gs * per
+
+
+def plan_banded_store_shapes(graphs: Sequence[Graph]):
+    """Shared (tile, halo, n_slot, spill_pad) over a graph set, using
+    the same auto rules as collate_banded / GraphLoader: halo sized to
+    the worst edge span (capped), tile 128 when the halo fits, per-graph
+    slots rounded up to the tile."""
+    from ..ops.banded import BANDED_TILE, DEFAULT_HALO_CAP, HALO_ALIGN
+
+    cap = min(DEFAULT_HALO_CAP, BANDED_TILE)
+    span_max = 0
+    for g in graphs:
+        if g.num_edges:
+            span_max = max(span_max, int(np.abs(
+                g.edge_index[0].astype(np.int64)
+                - g.edge_index[1]).max()))
+    halo = min(-(-span_max // HALO_ALIGN) * HALO_ALIGN, cap)
+    tile = 128 if halo <= 128 else BANDED_TILE
+    n_slot = -(-max(g.num_nodes for g in graphs) // tile) * tile
+    # exact per-graph spill counts at this (tile, halo): reach beyond
+    # the receiver's own tile, same formula as build_banded
+    spill = 0
+    for g in graphs:
+        if not g.num_edges:
+            continue
+        r = np.asarray(g.edge_index[1], np.int64)
+        s = np.asarray(g.edge_index[0], np.int64)
+        t_of = r // tile
+        reach = np.maximum.reduce([t_of * tile - s,
+                                   s - ((t_of + 1) * tile - 1),
+                                   np.zeros_like(s)])
+        live = np.asarray(g.edge_attr).reshape(g.num_edges, g.K) > 0
+        spill = max(spill, int(live[reach > halo].sum()))
+    return tile, halo, n_slot, spill
+
+
+def build_banded_store(
+    graphs: Sequence[Graph],
+    v1: int,
+    vk: int,
+    y_is_node_level: bool = False,
+    gcn_norm: bool = False,
+    shapes: Optional[tuple] = None,       # (tile, halo, n_slot, spill_pad)
+) -> BandedStore:
+    """Pack per-graph banded plans into one device-resident pytree.
+
+    ``shapes`` pins (tile, halo, n_slot, spill_pad) so train/val/test
+    stores share compiled scan shapes (the Trainer plans them over all
+    splits together)."""
+    from ..ops.banded import build_banded
+
+    G = len(graphs)
+    Gs = G + 1
+    K = graphs[0].K
+    tile, halo, n_slot, spill_pad = (shapes if shapes is not None
+                                     else plan_banded_store_shapes(graphs))
+    T = n_slot // tile
+    win = tile + 2 * halo
+    live_dt = np.float32 if gcn_norm else np.int8
+    live = np.zeros((Gs, K, T, tile, win), live_dt)
+    counts1 = np.zeros((Gs, n_slot, v1), np.float32)
+    countsk = (np.zeros((Gs, n_slot, K - 1, vk), np.float32)
+               if K > 1 else None)
+    union_deg = np.zeros((Gs, n_slot), np.float32)
+    hop_deg = np.zeros((Gs, n_slot, K), np.float32)
+    sp = spill_pad > 0
+    # pad-slot spill entries keep the sentinel row K*n (always dropped)
+    spill_rows = (np.full((Gs, spill_pad), K * n_slot, np.int32)
+                  if sp else None)
+    spill_senders = np.zeros((Gs, spill_pad), np.int32) if sp else None
+    spill_weights = (np.zeros((Gs, spill_pad), np.float32)
+                     if sp and gcn_norm else None)
+    for i, g in enumerate(graphs):
+        if not g.num_edges:
+            continue
+        r = np.asarray(g.edge_index[1], np.int64)
+        s = np.asarray(g.edge_index[0], np.int64)
+        attr = np.asarray(g.edge_attr).reshape(g.num_edges, K)
+        sw = None
+        if gcn_norm:
+            deg = np.ones((n_slot, K), np.float32)
+            for k in range(K):
+                np.add.at(deg[:, k], r[attr[:, k] > 0], 1.0)
+            sw = 1.0 / np.sqrt(deg)
+        plan = build_banded(r, s, attr, n_slot, v1, vk, tile=tile,
+                            halo=halo, spill_pad=spill_pad or None,
+                            sender_weights=sw, as_numpy=True)
+        live[i] = plan.live
+        counts1[i] = plan.counts1
+        if countsk is not None:
+            countsk[i] = plan.countsk
+        union_deg[i] = plan.union_deg
+        hop_deg[i] = plan.hop_deg
+        if sp and plan.spill_rows is not None:
+            spill_rows[i] = plan.spill_rows
+            spill_senders[i] = plan.spill_senders
+            if spill_weights is not None:
+                spill_weights[i] = plan.spill_weights
+
+    node_mask, graph_valid, stack_nodes = _stack_node_fields(graphs, n_slot)
+    j = lambda a: jnp.asarray(a) if a is not None else None
+    return BandedStore(
+        live=j(live), counts1=j(counts1), countsk=j(countsk),
+        union_deg=j(union_deg), hop_deg=j(hop_deg),
+        spill_rows=j(spill_rows), spill_senders=j(spill_senders),
+        spill_weights=j(spill_weights),
+        x=j(stack_nodes("x")), node_mask=j(node_mask),
+        graph_valid=j(graph_valid), pe_attr=j(stack_nodes("pe_attr")),
+        peripheral_edge_attr=j(stack_nodes("peripheral_edge_attr")),
+        peripheral_config_attr=j(stack_nodes("peripheral_config_attr")),
+        rd=j(stack_nodes("rd")), z=j(stack_nodes("z")),
+        pos=j(stack_nodes("pos")),
+        y=j(_stack_y(graphs, n_slot, y_is_node_level)),
+        tile=tile, halo=halo, sender_scaled=gcn_norm,
+        y_is_node_level=y_is_node_level,
+    )
+
+
+def gather_banded_batch(store: BandedStore, idx: jnp.ndarray) -> GraphBatch:
+    """On-device banded batch assembly: graph b owns node slots
+    [b*n_slot, (b+1)*n_slot) (dense-mode convention; collate_banded
+    packs nodes contiguously instead, but all downstream ops are
+    mask-aware so the layouts are interchangeable).  Window masks stack
+    along the tile axis; spill rows remap k·n + r -> k·(B·n) + b·n + r,
+    which interleaves graphs in the hop-major row space — the assembled
+    list is no longer row-sorted, so the plan clears spill_sorted."""
+    from ..ops.banded import BandedAdj
+
+    B = idx.shape[0]
+    n = store.n_slot
+    K = store.n_hops
+    T = store.live.shape[2]
+    tile, win = store.live.shape[3], store.live.shape[4]
+    take = lambda a: None if a is None else a[idx]
+    flat = lambda a: (None if a is None
+                      else a.reshape((B * n,) + a.shape[2:]))
+    live = jnp.swapaxes(store.live[idx], 0, 1).reshape(K, B * T, tile, win)
+    sp_r = sp_s = sp_w = None
+    if store.spill_rows is not None:
+        rows_g = store.spill_rows[idx]              # (B, S)
+        cols_g = store.spill_senders[idx]
+        offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
+        remap = lambda a: ((a // n) * (B * n) + offs + a % n).reshape(-1)
+        sp_r, sp_s = remap(rows_g), remap(cols_g)
+        if store.spill_weights is not None:
+            sp_w = store.spill_weights[idx].reshape(-1)
+    adj = BandedAdj(
+        live=live,
+        counts1=store.counts1[idx].reshape(B * n, -1),
+        countsk=(store.countsk[idx].reshape(B * n, K - 1, -1)
+                 if store.countsk is not None else None),
+        union_deg=store.union_deg[idx].reshape(-1),
+        hop_deg=store.hop_deg[idx].reshape(B * n, K),
+        spill_senders=sp_s, spill_rows=sp_r, spill_weights=sp_w,
+        spill_hop_ends=(), sender_scaled=store.sender_scaled,
+        spill_sorted=False, tile=tile, halo=store.halo, n_hops=K,
+        n_cols_static=0,
+    )
+    y = store.y
+    if y is not None:
+        y = y[idx]
+        if store.y_is_node_level:
+            y = y.reshape((B * n,) + y.shape[2:])
+    return GraphBatch(
+        x=flat(take(store.x)),
+        node_mask=flat(take(store.node_mask)),
+        node_graph_ids=jnp.repeat(jnp.arange(B, dtype=jnp.int32), n),
+        pe_attr=flat(take(store.pe_attr)),
+        peripheral_edge_attr=flat(take(store.peripheral_edge_attr)),
+        peripheral_config_attr=flat(take(store.peripheral_config_attr)),
+        rd=flat(take(store.rd)),
+        z=flat(take(store.z)),
+        pos=flat(take(store.pos)),
+        adj=adj,
+        y=y,
+        graph_mask=store.graph_valid[idx],
+    )
+
+
 def gather_any(store, idx: jnp.ndarray) -> GraphBatch:
     """Dispatch by store type (static at trace time)."""
     if isinstance(store, COOStore):
         return gather_coo_batch(store, idx)
+    if isinstance(store, BandedStore):
+        return gather_banded_batch(store, idx)
     return gather_batch(store, idx)
 
 
