@@ -147,7 +147,8 @@ def _bench_backend(model, batches, edges):
     return _time_step(step, state, batches, jax.random.PRNGKey(1), edges)
 
 
-def _bench_resident(model, graphs, mcfg, example_batch, edges):
+def _bench_resident(model, graphs, mcfg, example_batch, edges,
+                    batch: int = BATCH):
     """Trainer's resident path: whole dataset in HBM, the epoch as one
     lax.scan dispatch (train/resident.py) — no per-step host dispatch."""
     from kpgnn_tpu.train import (build_dense_store, create_train_state,
@@ -157,7 +158,7 @@ def _bench_resident(model, graphs, mcfg, example_batch, edges):
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
     store = build_dense_store(graphs, N_SLOT, v1=v1, vk=vk)
     chunks = jnp.asarray(epoch_index_chunks(
-        np.arange(len(graphs)), BATCH, store.num_graphs))
+        np.arange(len(graphs)), batch, store.num_graphs))
     state, tx = create_train_state(model, example_batch,
                                    jax.random.PRNGKey(0), 1e-3)
     ep = make_resident_train_epoch(model, tx, loss="l1")
@@ -488,8 +489,12 @@ def _resident_bf16_only():
     # hop_attr-derived counts)
     edges = [sum(g.num_edges for g in graphs[i:i + BATCH])
              for i in range(0, len(graphs), BATCH)]
+    # BENCH_RESIDENT_BATCH sweeps the scan-step batch (the MFU lever:
+    # the flagship step is op-count-bound at (2560, 104) activations,
+    # so wider steps amortize per-op fixed cost)
+    batch = int(os.environ.get("BENCH_RESIDENT_BATCH", str(BATCH)))
     val = round(_bench_resident(model_bf16, graphs, mcfg, example,
-                                edges), 1)
+                                edges, batch=batch), 1)
     print(json.dumps({"metric": "dense_resident_bf16", "value": val}))
 
 

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Root-cause experiment for MEASUREMENT TRAP 4 (CLAUDE.md).
+
+Symptom: a bf16 resident epoch dispatched AFTER f32 executables in the
+same process runs ~4x slower WALL time with unchanged device time;
+measured first or alone it is faster than f32.  The family also covers
+"in-process banded depressed ~35%" and "which dtype wins flips run to
+run".  All published numbers currently work around it with subprocess
+isolation; this experiment varies one factor at a time to find the
+mechanism.
+
+Modes (each runs in its own process; drive with --mode):
+  alone        bf16 epoch only                          (control: fast)
+  after_f32    f32 epochs then bf16 epochs              (repro: slow?)
+  nodonate     like after_f32 but bf16 epoch donate=False
+  clear_cache  like after_f32 but jax.clear_caches() + del f32 state
+               between the two measurements
+  fresh_store  like after_f32 but the bf16 run packs its own copy of
+               the store (no buffer sharing with the f32 run)
+  f32_after    control for symmetry: bf16 first, then measure f32
+  reverse_each run bf16, f32, bf16, f32 alternating — does the first
+               bf16 stay fast and the second go slow?
+
+Prints one JSON line: per-phase best epoch wall seconds + edges/s.
+
+Usage:
+  for m in alone after_f32 nodonate clear_cache fresh_store f32_after; do
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/trap4_experiment.py --mode $m
+  done
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench  # the bench module's model/graph builders (same workload)
+
+
+_SHARED = {}
+
+
+def build(dtype, fresh_store=False):
+    """Models/graphs/chunks are built once and shared across phases (the
+    production scenario); `fresh_store=True` packs a new store copy to
+    isolate buffer-sharing effects."""
+    from kpgnn_tpu.graph.batch import collate_dense
+    from kpgnn_tpu.train import build_dense_store, epoch_index_chunks
+
+    if not _SHARED:
+        model, mcfg, graphs, model_bf16 = bench._model_and_graphs()
+        v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
+        store = build_dense_store(graphs, bench.N_SLOT, v1=v1, vk=vk)
+        chunks = jnp.asarray(epoch_index_chunks(
+            np.arange(len(graphs)), bench.BATCH, store.num_graphs))
+        example = collate_dense(graphs[:bench.BATCH], n_slot=bench.N_SLOT,
+                                v1=v1, vk=vk, g_pad=bench.BATCH)
+        _SHARED.update(model=model, model_bf16=model_bf16, mcfg=mcfg,
+                       graphs=graphs, store=store, chunks=chunks,
+                       example=example,
+                       epe=sum(g.num_edges for g in graphs),
+                       v1=v1, vk=vk)
+    s = _SHARED
+    st = s["store"]
+    if fresh_store:
+        st = build_dense_store(s["graphs"], bench.N_SLOT, v1=s["v1"],
+                               vk=s["vk"])
+    m = s["model_bf16"] if dtype == "bf16" else s["model"]
+    return m, st, s["chunks"], s["example"], s["epe"]
+
+
+def measure(dtype, donate=True, fresh_store=False, n_epochs=12):
+    from kpgnn_tpu.train import create_train_state, make_resident_train_epoch
+
+    m, st, chunks, example, epe = build(dtype, fresh_store)
+    state, tx = create_train_state(m, example, jax.random.PRNGKey(0), 1e-3)
+    ep = make_resident_train_epoch(m, tx, loss="l1", donate=donate)
+    rng = jax.random.PRNGKey(1)
+    state, ls, cnt = ep(state, st, chunks, rng)
+    jax.block_until_ready(ls)
+    walls = []
+    for _ in range(n_epochs):
+        t0 = time.perf_counter()
+        state, ls, cnt = ep(state, st, chunks, rng)
+        jax.block_until_ready(ls)
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    return {"dtype": dtype, "donate": donate,
+            "best_epoch_s": round(best, 5),
+            "median_epoch_s": round(sorted(walls)[len(walls) // 2], 5),
+            "edges_per_s": round(epe / best, 1),
+            "walls": [round(w, 4) for w in walls]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", required=True)
+    args = p.parse_args()
+    out = {"mode": args.mode, "phases": []}
+
+    if args.mode == "alone":
+        out["phases"].append(measure("bf16"))
+    elif args.mode == "after_f32":
+        out["phases"].append(measure("f32"))
+        out["phases"].append(measure("bf16"))
+    elif args.mode == "nodonate":
+        out["phases"].append(measure("f32"))
+        out["phases"].append(measure("bf16", donate=False))
+    elif args.mode == "clear_cache":
+        out["phases"].append(measure("f32"))
+        jax.clear_caches()
+        out["phases"].append(measure("bf16"))
+    elif args.mode == "fresh_store":
+        # f32 phase, then bf16 with its own freshly-packed store copy
+        out["phases"].append(measure("f32"))
+        out["phases"].append(measure("bf16", fresh_store=True))
+    elif args.mode == "f32_after":
+        out["phases"].append(measure("bf16"))
+        out["phases"].append(measure("f32"))
+    elif args.mode == "reverse_each":
+        for d in ("bf16", "f32", "bf16", "f32"):
+            out["phases"].append(measure(d, n_epochs=8))
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
