@@ -80,7 +80,7 @@ N_SLOT = 40          # dense mode slot size (ZINC graphs are <= 37 nodes)
 ITERS = int(os.environ.get("BENCH_ITERS", "100"))   # small for CPU sanity
 
 
-def _model_and_graphs():
+def _model_and_graphs(n_graphs: int = 4 * BATCH):
     from kpgnn_tpu.data.synthetic import synthetic_molecules
     from kpgnn_tpu.models import ModelConfig, make_model
     from kpgnn_tpu.prep import KHopConfig
@@ -88,7 +88,7 @@ def _model_and_graphs():
     kcfg = KHopConfig(K=K, kernel="spd", max_edge_attr_num=30,
                       max_hop_num=6, max_edge_type=3, max_edge_count=20,
                       max_distance_count=30)
-    graphs = synthetic_molecules(4 * BATCH, kcfg, seed=0)
+    graphs = synthetic_molecules(n_graphs, kcfg, seed=0)
     mk = lambda dtype: ModelConfig(
         model_name="KPGINPlus", hidden_size=HIDDEN, num_layer=L, K=K,
         num_hop1_edge=3, max_pe_num=30, max_edge_type=3,
@@ -479,7 +479,10 @@ def _resident_bf16_only():
         # pre-backend-init (the tests/conftest.py trick)
         jax.config.update("jax_platforms", "cpu")
     _device_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "300")))
-    model, mcfg, graphs, model_bf16 = _model_and_graphs()
+    batch = int(os.environ.get("BENCH_RESIDENT_BATCH", str(BATCH)))
+    # keep 4 scan steps per epoch at any batch so per-dispatch fixed
+    # cost amortizes identically across the sweep
+    model, mcfg, graphs, model_bf16 = _model_and_graphs(4 * batch)
     v1, vk = mcfg.num_hop1_edge + 2, mcfg.max_pe_num + 2
     from kpgnn_tpu.graph.batch import collate_dense
     example = collate_dense(graphs[:BATCH], n_slot=N_SLOT, v1=v1, vk=vk,
@@ -487,12 +490,8 @@ def _resident_bf16_only():
     # every union edge is live at some hop, so per-batch union-edge
     # counts are just the graphs' edge counts (matches the main path's
     # hop_attr-derived counts)
-    edges = [sum(g.num_edges for g in graphs[i:i + BATCH])
-             for i in range(0, len(graphs), BATCH)]
-    # BENCH_RESIDENT_BATCH sweeps the scan-step batch (the MFU lever:
-    # the flagship step is op-count-bound at (2560, 104) activations,
-    # so wider steps amortize per-op fixed cost)
-    batch = int(os.environ.get("BENCH_RESIDENT_BATCH", str(BATCH)))
+    edges = [sum(g.num_edges for g in graphs[i:i + batch])
+             for i in range(0, len(graphs), batch)]
     val = round(_bench_resident(model_bf16, graphs, mcfg, example,
                                 edges, batch=batch), 1)
     print(json.dumps({"metric": "dense_resident_bf16", "value": val}))

@@ -224,6 +224,12 @@ def loader_kwargs(args, mcfg: ModelConfig, graphs) -> dict:
     partition time instead (parallel_kwargs), so the loader collates
     plain COO batches."""
     backend = "dense" if getattr(args, "dense", False) else args.backend
+    if (getattr(args, "aggr", "add") == "max"
+            and backend in ("pallas", "banded")):
+        raise SystemExit(
+            f"--aggr max is not available on the {backend} backend (its "
+            "plan stores attr histograms / one-hot sums, not the per-edge "
+            "codes max needs) — use --backend coo or dense")
     if backend == "coo" or (getattr(args, "parallel", None) == "node"
                             and backend in ("pallas", "banded")):
         return {"mode": "coo"}
