@@ -137,8 +137,11 @@ def first_neighbours(A: np.ndarray) -> np.ndarray:
 
 
 def kth_neighbours(A: np.ndarray, k: int) -> np.ndarray:
-    d = all_pairs_shortest_paths(A, 0)
-    return (d == k).sum(axis=0).astype(np.float64)
+    """Per node: count of nodes reachable in <= k hops, excluding self
+    (reference: graph_algorithms.py:49-62 — despite the docstring there,
+    the code counts the <= k reachable set, not the k-th ring)."""
+    d = all_pairs_shortest_paths(A, math.inf)
+    return ((d <= k) & (d > 0)).sum(axis=0).astype(np.float64)
 
 
 def mean_neighbourhood(A: np.ndarray, F: np.ndarray) -> np.ndarray:
@@ -178,3 +181,224 @@ def wl_colors(A: np.ndarray, labels=None, iters: int = 10) -> tuple:
         colors = new
     vals, cnts = np.unique(colors, return_counts=True)
     return tuple(sorted(cnts.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# The reference's remaining (dataset-unused) oracles, for drop-in parity
+# (reference: datasets/graph_algorithms.py:19-62,83-127,191-290,384-510).
+# Independent implementations; present so a user porting label-generation
+# code finds the full surface.
+# ---------------------------------------------------------------------------
+
+def identity(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    return np.asarray(F).copy()
+
+
+def second_neighbours(A: np.ndarray) -> np.ndarray:
+    """Per node: count of nodes reachable in <= 2 hops, excluding self
+    (reference: graph_algorithms.py:37-47)."""
+    return kth_neighbours(A, 2)
+
+
+def map_reduce_neighbourhood(A, F, f_reduce, f_map=None, hops: int = 1,
+                             consider_itself: bool = False):
+    """Per node: reduce f_map(F) over its <= hops neighborhood."""
+    F = np.asarray(F)
+    vals = f_map(F) if f_map is not None else F
+    reach = np.eye(A.shape[0])
+    hop = np.eye(A.shape[0])
+    for _ in range(hops):
+        hop = hop @ A
+        reach = reach + hop
+    reach = reach > 0
+    if not consider_itself:
+        np.fill_diagonal(reach, False)
+    out = np.empty(A.shape[0], dtype=float)
+    for i in range(A.shape[0]):
+        nbr = np.flatnonzero(reach[i])
+        out[i] = f_reduce(vals[nbr]) if nbr.size else vals[i]
+    return out
+
+
+def min_neighbourhood(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    return map_reduce_neighbourhood(A, F, np.min)
+
+
+def std_neighbourhood(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    return map_reduce_neighbourhood(A, F, np.std)
+
+
+def local_maxima(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """1 where F[i] strictly exceeds every neighbour's value."""
+    mx = map_reduce_neighbourhood(A, F, np.max)
+    return (np.asarray(F) > mx).astype(float)
+
+
+def map_reduce_graph(A: np.ndarray, F: np.ndarray, f_reduce) -> float:
+    return float(f_reduce(np.asarray(F)))
+
+
+def mean_graph(A, F):
+    return map_reduce_graph(A, F, np.mean)
+
+
+def max_graph(A, F):
+    return map_reduce_graph(A, F, np.max)
+
+
+def min_graph(A, F):
+    return map_reduce_graph(A, F, np.min)
+
+
+def std_graph(A, F):
+    return map_reduce_graph(A, F, np.std)
+
+
+def is_eulerian_cyclable(A: np.ndarray) -> float:
+    """Connected (over non-isolated nodes) with all degrees even."""
+    deg = A.sum(axis=1)
+    live = deg > 0
+    if not live.any():
+        return 0.0
+    sub = A[np.ix_(live, live)]
+    return float(is_connected(sub) and not (deg[live] % 2).any())
+
+
+def is_eulerian_percorrible(A: np.ndarray) -> float:
+    """Eulerian path: connected with exactly 0 or 2 odd-degree nodes."""
+    deg = A.sum(axis=1)
+    live = deg > 0
+    if not live.any():
+        return 0.0
+    sub = A[np.ix_(live, live)]
+    odd = int((deg[live] % 2).sum())
+    return float(is_connected(sub) and odd in (0, 2))
+
+
+def has_hamiltonian_cycle(A: np.ndarray) -> float:
+    """Held–Karp bitmask DP over subsets (exact, n <= ~20)."""
+    n = A.shape[0]
+    if n == 0:
+        return 0.0
+    if n == 1:
+        return 1.0
+    full = (1 << n) - 1
+    # dp[mask][v]: a path over `mask` starting at node 0 ending at v
+    dp = [[False] * n for _ in range(1 << n)]
+    dp[1][0] = True
+    for mask in range(1 << n):
+        if not (mask & 1):
+            continue
+        for v in range(n):
+            if not dp[mask][v]:
+                continue
+            for w in range(1, n):
+                if A[v, w] and not (mask >> w) & 1:
+                    dp[mask | (1 << w)][w] = True
+    return float(any(dp[full][v] and A[v, 0] for v in range(1, n)))
+
+
+def max_absolute_eigenvalues(A: np.ndarray, k: int) -> np.ndarray:
+    ev = np.linalg.eigvalsh(A)
+    return np.sort(np.abs(ev))[::-1][:k]
+
+
+def max_absolute_eigenvalues_laplacian(A: np.ndarray, n: int) -> np.ndarray:
+    return max_absolute_eigenvalues(graph_laplacian(A), n)
+
+
+def max_eigenvector(A: np.ndarray) -> np.ndarray:
+    w, v = np.linalg.eigh(A)
+    vec = v[:, np.argmax(w)]
+    return vec if vec.sum() >= 0 else -vec
+
+
+def tsp_length(A: np.ndarray, F=None) -> float:
+    """Shortest closed tour visiting every node (Held–Karp over the
+    APSP metric closure, so it is defined on any connected graph)."""
+    n = A.shape[0]
+    if n <= 1:
+        return 0.0
+    D = all_pairs_shortest_paths(A)
+    if not np.isfinite(D).all():
+        return math.inf
+    full = (1 << n) - 1
+    INF = math.inf
+    dp = np.full((1 << n, n), INF)
+    dp[1][0] = 0.0
+    for mask in range(1 << n):
+        if not (mask & 1):
+            continue
+        for v in range(n):
+            if dp[mask][v] == INF:
+                continue
+            for w in range(1, n):
+                if not (mask >> w) & 1:
+                    nm = mask | (1 << w)
+                    cand = dp[mask][v] + D[v, w]
+                    if cand < dp[nm][w]:
+                        dp[nm][w] = cand
+    return float(min(dp[full][v] + D[v, 0] for v in range(1, n)))
+
+
+def isomorphism(A1: np.ndarray, A2: np.ndarray, F1=None, F2=None) -> bool:
+    """Backtracking exact isomorphism with WL-signature pruning (the
+    reference's checker is WL-based and can report false positives on
+    WL-equivalent pairs; exact search avoids that for test-oracle use)."""
+    n = A1.shape[0]
+    if A2.shape[0] != n:
+        return False
+    if wl_colors(A1, F1)[0] != wl_colors(A2, F2)[0]:
+        return False
+    deg1 = A1.sum(1)
+    deg2 = A2.sum(1)
+    order = np.argsort(-deg1)
+    used = [False] * n
+    mapping = [-1] * n
+
+    def ok(i, cand):
+        u = order[i]
+        if deg1[u] != deg2[cand]:
+            return False
+        if F1 is not None and F2 is not None and F1[u] != F2[cand]:
+            return False
+        for j in range(i):
+            if A1[u, order[j]] != A2[cand, mapping[j]]:
+                return False
+        return True
+
+    def rec(i):
+        if i == n:
+            return True
+        for cand in range(n):
+            if not used[cand] and ok(i, cand):
+                used[cand] = True
+                mapping[i] = cand
+                if rec(i + 1):
+                    return True
+                used[cand] = False
+                mapping[i] = -1
+        return False
+
+    return rec(0)
+
+
+def get_nodes_labels(A: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """The reference's node-label bundle (N, 7): [identity, mean/max/std
+    of the closed 1-hop neighbourhood, first/second neighbour counts,
+    eccentricity] (reference: datasets/graph_algorithms.py:495-507)."""
+    F = np.asarray(F, float)
+    cols = [identity(A, F),
+            map_reduce_neighbourhood(A, F, np.mean, consider_itself=True),
+            map_reduce_neighbourhood(A, F, np.max, consider_itself=True),
+            map_reduce_neighbourhood(A, F, np.std, consider_itself=True),
+            first_neighbours(A).astype(float),
+            second_neighbours(A).astype(float),
+            eccentricity(A).astype(float)]
+    return np.stack(cols, axis=1)
+
+
+def get_graph_labels(A: np.ndarray, F=None) -> np.ndarray:
+    """The reference's graph-label bundle: [diameter]
+    (reference: datasets/graph_algorithms.py:510-519)."""
+    return np.asarray([diameter(A)], dtype=float)

@@ -257,6 +257,46 @@ def test_extra_algorithms():
     assert P[1, 0] == 1 and P[2, 1] == 1
     assert alg.count_edges(A) == 2
     assert alg.first_neighbours(A).tolist() == [1, 2, 1]
-    assert alg.kth_neighbours(A, 2).tolist() == [1, 0, 1]
+    # reference semantics: nodes reachable within <= k hops, excl. self
+    # (path 0-1-2: everyone reaches both others within 2 hops)
+    assert alg.kth_neighbours(A, 2).tolist() == [2, 2, 2]
+    assert alg.kth_neighbours(A, 1).tolist() == [1, 2, 1]
+    assert alg.second_neighbours(A).tolist() == [2, 2, 2]
     assert np.allclose(alg.mean_neighbourhood(A, np.array([1., 2., 3.])),
                        [2.0, 2.0, 2.0])
+
+
+def test_reference_extra_oracles():
+    """The reference's remaining (dataset-unused) graph oracles
+    (graph_algorithms.py:19-62,83-127,191-290,384-510)."""
+    import numpy as np
+    A = np.zeros((6, 6))
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)]:
+        A[u, v] = A[v, u] = 1
+    F = np.arange(6.0)
+    assert alg.has_hamiltonian_cycle(A) == 1.0
+    assert alg.is_eulerian_cyclable(A) == 1.0
+    A2 = A.copy()
+    A2[0, 1] = A2[1, 0] = 0                      # now a path graph
+    assert alg.has_hamiltonian_cycle(A2) == 0.0
+    assert alg.is_eulerian_cyclable(A2) == 0.0
+    assert alg.is_eulerian_percorrible(A2) == 1.0
+    assert abs(alg.tsp_length(A) - 6.0) < 1e-9
+    assert alg.min_neighbourhood(A, F)[0] == 1.0  # nbrs of 0: {1, 5}
+    assert alg.std_neighbourhood(A, F)[0] == 2.0
+    assert alg.local_maxima(A, F).tolist() == [0, 0, 0, 0, 0, 1]
+    assert alg.mean_graph(A, F) == 2.5 and alg.max_graph(A, F) == 5.0
+    assert alg.min_graph(A, F) == 0.0
+    ev = alg.max_absolute_eigenvalues(A, 2)
+    assert abs(ev[0] - 2.0) < 1e-8               # cycle spectral radius 2
+    assert abs(alg.max_absolute_eigenvalues_laplacian(A, 1)[0] - 4.0) < 1e-8
+    vec = alg.max_eigenvector(A)
+    assert np.allclose(np.abs(vec), np.abs(vec[0]))   # regular graph
+    P = np.random.default_rng(0).permutation(6)
+    assert alg.isomorphism(A, A[np.ix_(P, P)])
+    assert not alg.isomorphism(A, A2)
+    assert alg.get_graph_labels(A).tolist() == [3.0]
+    nl = alg.get_nodes_labels(A, F)
+    assert nl.shape == (6, 7)
+    assert nl[:, 0].tolist() == F.tolist()            # identity column
+    assert nl[0, 4] == 2.0 and nl[0, 5] == 4.0        # 1st/2nd nbr counts
