@@ -121,6 +121,25 @@ def parse_counting_log(log_path: str) -> dict:
     }
 
 
+def parse_zinc_log(log_path: str) -> dict:
+    """'Run: r,  Best Val:v, Best Test: t,...' + 'Final Vali: m ± s,
+    Final Test: m ± s' (train_ZINC.py:279-288)."""
+    txt = open(log_path).read()
+    runs = re.findall(r"Run: (\d+),\s+Best Val:([\d.]+), "
+                      r"Best Test: ([\d.]+)", txt)
+    final = re.search(r"Final Vali: ([\d.]+) ± ([\d.nan]+), "
+                      r"Final Test: ([\d.]+) ± ([\d.nan]+)", txt)
+    fl = lambda s: None if s is None or "nan" in s else float(s)
+    return {
+        "runs": [{"run": int(r), "val": float(v), "test": float(t)}
+                 for r, v, t in runs],
+        "final_val_mean": fl(final.group(1)) if final else None,
+        "final_val_std": fl(final.group(2)) if final else None,
+        "final_test_mean": fl(final.group(3)) if final else None,
+        "final_test_std": fl(final.group(4)) if final else None,
+    }
+
+
 def parse_exp_log(log_path: str) -> dict:
     """'Fold i, best train: x, best test: y' + 'Test result: Mean: m,
     Std :s'."""
@@ -140,7 +159,10 @@ def parse_exp_log(log_path: str) -> dict:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--task", choices=("counting", "exp"), required=True)
+    p.add_argument("--task", choices=("counting", "exp", "zinc"),
+                   required=True)
+    p.add_argument("--zinc_fixture", default="/tmp/zincfix",
+                   help="root written by tools/make_zinc_fixture.py")
     p.add_argument("--workdir", required=True)
     p.add_argument("--out", required=True, help="JSON result path")
     p.add_argument("--n_graphs", type=int, default=5000)
@@ -160,6 +182,20 @@ def main():
             argv += ["--num_epochs", str(args.num_epochs)]
         log = run_reference_main("train_structure_counting", argv, workdir)
         res = parse_counting_log(log)
+    elif args.task == "zinc":
+        # link the fixture's raw bundle into the per-config dataset root
+        # the reference constructs (train_ZINC.py:204-207)
+        for k, kern in (("8", "spd"),):
+            raw = os.path.join(workdir, "data", f"ZINC_{k}_{kern}", "raw")
+            os.makedirs(os.path.dirname(raw), exist_ok=True)
+            if not os.path.exists(raw):
+                os.symlink(os.path.join(os.path.abspath(args.zinc_fixture),
+                                        "raw"), raw)
+        argv = ["--runs", str(args.runs)]
+        if args.num_epochs:
+            argv += ["--num_epochs", str(args.num_epochs)]
+        log = run_reference_main("train_ZINC", argv, workdir)
+        res = parse_zinc_log(log)
     else:
         # EXP reads data/EXP/raw/GRAPHSAT.pkl relative to cwd: link the
         # shipped raw file into the sandbox (reference dir is read-only)

@@ -172,8 +172,12 @@ class InMemoryDataset:
         self.data = self.slices = None
         os.makedirs(self.raw_dir, exist_ok=True)
         os.makedirs(self.processed_dir, exist_ok=True)
-        if not all(os.path.exists(p) for p in self.processed_paths):
+        # PyG contract: download only when raw files are missing (e.g.
+        # the reference ZINC's download() rmtree's raw_dir and hits the
+        # network — it must not fire when raw pickles are pre-placed)
+        if not all(os.path.exists(p) for p in self.raw_paths):
             self.download()
+        if not all(os.path.exists(p) for p in self.processed_paths):
             self.process()
 
     @property
@@ -471,6 +475,16 @@ def install():
     data_m = types.ModuleType("torch_geometric.data")
     data_m.Data, data_m.Batch, data_m.DataLoader = Data, Batch, DataLoader
     data_m.InMemoryDataset = InMemoryDataset
+
+    def download_url(url, folder, **_):      # import surface only; no
+        raise NotImplementedError(           # egress in this container
+            "pyg_shim has no network access; pre-place raw files")
+
+    def extract_zip(path, folder, **_):
+        raise NotImplementedError("pyg_shim does not unpack archives")
+
+    data_m.download_url = download_url
+    data_m.extract_zip = extract_zip
     # old-PyG pickles (EXP's GRAPHSAT.pkl) reference
     # `torch_geometric.data.data Data`
     data_data_m = types.ModuleType("torch_geometric.data.data")
