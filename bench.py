@@ -161,7 +161,8 @@ def _bench_resident(model, graphs, mcfg, example_batch, edges,
         np.arange(len(graphs)), batch, store.num_graphs))
     state, tx = create_train_state(model, example_batch,
                                    jax.random.PRNGKey(0), 1e-3)
-    ep = make_resident_train_epoch(model, tx, loss="l1")
+    donate = os.environ.get("BENCH_RESIDENT_DONATE", "1") != "0"
+    ep = make_resident_train_epoch(model, tx, loss="l1", donate=donate)
     rng = jax.random.PRNGKey(1)
     state, ls, cnt = ep(state, store, chunks, rng)       # compile + warmup
     jax.block_until_ready(ls)
