@@ -127,6 +127,26 @@ def main():
     elif args.mode == "reverse_each":
         for d in ("bf16", "f32", "bf16", "f32"):
             out["phases"].append(measure(d, n_epochs=8))
+    elif args.mode == "bench_preamble":
+        # replicate bench.py's main-path ordering: compile + run the
+        # per-batch donated train steps for three other backends first,
+        # then measure the resident epochs — the published f32-resident
+        # 18.2M (vs 57M here in isolation) was measured in exactly this
+        # contaminated position
+        from kpgnn_tpu.graph.batch import collate, collate_dense
+
+        model, mcfg, graphs, model_bf16 = bench._model_and_graphs()
+        batched, edges = bench._collate_all(graphs, mcfg)
+        pre = {}
+        for nm, m, bs in (("dense", model, batched["dense"]),
+                          ("coo", model, batched["coo"]),
+                          ("dense_bf16", model_bf16, batched["dense"])):
+            t0 = time.time()
+            pre[nm] = round(bench._bench_backend(m, bs, edges), 1)
+            pre[nm + "_s"] = round(time.time() - t0, 1)
+        out["preamble"] = pre
+        out["phases"].append(measure("f32"))
+        out["phases"].append(measure("bf16"))
     else:
         raise SystemExit(f"unknown mode {args.mode}")
     print(json.dumps(out))
