@@ -18,3 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite's wall-clock is dominated
+# by CPU compiles of large programs (shard_map grads, scan epochs) that
+# are identical run to run; caching them keeps the inner loop inside
+# the ~3 min budget.  Keyed by HLO + compiler version, so stale entries
+# cannot produce wrong numerics — at worst a miss.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("KPGNN_TEST_CACHE",
+                                 "/tmp/kpgnn_test_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

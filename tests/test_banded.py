@@ -4,6 +4,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def _jit_smap(*a, **k):
+    """jax.jit(jax.shard_map(...)): the eager shard_map impl
+    dispatches primitive-by-primitive (~50 ms each on this CPU)
+    and dominated the suite wall-clock; compiled numerics are
+    identical."""
+    import jax as _jax
+    return _jax.jit(_jax.shard_map(*a, **k))
+
 from kpgnn_tpu.ops.banded import (BandedAdj, banded_khop_aggregate,
                                   build_banded)
 
@@ -180,19 +189,20 @@ def test_banded_gcn_norm_matches_coo():
                      num_pe=VK - 2)
     v = conv.init(jax.random.PRNGKey(0), cc.x, cc.adj,
                   cc.pe_attr[:, :K - 1], None, cc.node_mask)
-    out_c = conv.apply(v, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None,
-                       cc.node_mask)
-    out_b = conv.apply(v, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None,
-                       cb.node_mask)
+    app = jax.jit(conv.apply)          # eager flax apply dominated wall
+    out_c = app(v, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None,
+                cc.node_mask)
+    out_b = app(v, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None,
+                cb.node_mask)
     assert np.allclose(np.asarray(out_b), np.asarray(out_c), atol=1e-4), \
         np.abs(np.asarray(out_b) - np.asarray(out_c)).max()
 
-    gc = jax.grad(lambda p: jnp.sum(conv.apply(
+    gc = jax.jit(jax.grad(lambda p: jnp.sum(conv.apply(
         p, cc.x, cc.adj, cc.pe_attr[:, :K - 1], None, cc.node_mask) ** 2)
-    )(v)
-    gb = jax.grad(lambda p: jnp.sum(conv.apply(
+    ))(v)
+    gb = jax.jit(jax.grad(lambda p: jnp.sum(conv.apply(
         p, cb.x, cb.adj, cb.pe_attr[:, :K - 1], None, cb.node_mask) ** 2)
-    )(v)
+    ))(v)
     for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gb)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
@@ -275,7 +285,7 @@ def test_sharded_banded_aggregate_matches_coo(mode):
         assert adj_s.banded is not None
         return khop_aggregate_adj(adj_s, x_s, t1, tk, scale=sc, aggr=aggr)
 
-    fn = jax.shard_map(per_device, mesh=mesh,
+    fn = _jit_smap(per_device, mesh=mesh,
                        in_specs=(sh_specs, node, opt(scale)),
                        out_specs=node)
     out = fn(sharded, x, scale)
@@ -289,7 +299,7 @@ def test_sharded_banded_aggregate_matches_coo(mode):
                     jnp.float32)
     g_ref = jax.grad(lambda xx: jnp.sum(khop_aggregate_adj(
         coo, xx, t1, tk) * w))(x)
-    loss_sh = jax.shard_map(
+    loss_sh = _jit_smap(
         lambda adj_s, x_s, w_s: jax.lax.psum(
             jnp.sum(khop_aggregate_adj(adj_s, x_s, t1, tk) * w_s),
             "node"),
@@ -328,7 +338,7 @@ def test_sharded_banded_slice_hops_keeps_plan():
             return khop_aggregate_adj(sl, x_s[:, :k], t1,
                                       tk if k > 1 else None)
 
-        fn = jax.shard_map(per_device, mesh=mesh,
+        fn = _jit_smap(per_device, mesh=mesh,
                            in_specs=(sh_specs, node), out_specs=node)
         out = fn(sharded, x)
         assert np.allclose(np.asarray(out), np.asarray(expect),

@@ -4,6 +4,15 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+def _jit_smap(*a, **k):
+    """jax.jit(jax.shard_map(...)): the eager shard_map impl
+    dispatches primitive-by-primitive (~50 ms each on this CPU)
+    and dominated the suite wall-clock; compiled numerics are
+    identical."""
+    import jax as _jax
+    return _jax.jit(_jax.shard_map(*a, **k))
+
 from kpgnn_tpu.graph import Graph, collate
 from kpgnn_tpu.models import ModelConfig, make_model
 from kpgnn_tpu.parallel import make_mesh, make_parallel_train_step, stack_batches
@@ -129,7 +138,7 @@ def test_sharded_aggregate_matches_coo(mode):
         return khop_aggregate_adj(adj_s, x_s, t1, tk, scale=s,
                                   sender_scale=ss, aggr=aggr)
 
-    fn = jax.shard_map(per_device, mesh=mesh,
+    fn = _jit_smap(per_device, mesh=mesh,
                        in_specs=(sh_specs, node, opt(scale),
                                  opt(sender_scale)),
                        out_specs=node)
@@ -459,7 +468,7 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
         return khop_aggregate_adj(adj_s, x_s, t1, tk, scale=s,
                                   sender_scale=ss, aggr=aggr)
 
-    fn = jax.shard_map(per_device, mesh=mesh,
+    fn = _jit_smap(per_device, mesh=mesh,
                        in_specs=(sh_specs, node, opt(scale),
                                  opt(sender_scale)),
                        out_specs=node)
@@ -477,7 +486,7 @@ def test_sharded_pallas_aggregate_matches_coo(mode):
         lambda xx: jnp.sum(khop_aggregate_adj(
             adj, xx, t1, tk, scale=scale, sender_scale=sender_scale,
             aggr=aggr) * w))(x)
-    loss_sh = jax.shard_map(
+    loss_sh = _jit_smap(
         lambda adj_s, x_s, s, ss, w_s: jax.lax.psum(
             jnp.sum(per_device(adj_s, x_s, s, ss) * w_s), "node"),
         mesh=mesh,
@@ -528,7 +537,7 @@ def test_sharded_pallas_hop_windows_keep_kernel():
             return khop_aggregate_adj(sl, x_s[:, :k], t1,
                                       tk if k > 1 else None)
 
-        fn = jax.shard_map(per_device, mesh=mesh,
+        fn = _jit_smap(per_device, mesh=mesh,
                            in_specs=(sh_specs, node), out_specs=node)
         out = fn(sharded, x)
         assert np.allclose(np.asarray(out), np.asarray(expect),
@@ -541,7 +550,7 @@ def test_sharded_pallas_hop_windows_keep_kernel():
                     jnp.float32)
     g_ref = jax.grad(lambda xx: jnp.sum(khop_aggregate_adj(
         adj.slice_hops(k), xx[:, :k], t1, tk) * w))(x)
-    loss_sh = jax.shard_map(
+    loss_sh = _jit_smap(
         lambda adj_s, x_s, w_s: jax.lax.psum(
             jnp.sum(khop_aggregate_adj(
                 adj_s.slice_hops(k), x_s[:, :k], t1, tk) * w_s), "node"),
@@ -554,7 +563,7 @@ def test_sharded_pallas_hop_windows_keep_kernel():
     plain = partition_adj(adj, n_shards)
     pl_specs = plain.replace(senders=node, receivers=node, edge_attr=node,
                              edge_mask=node, send_rows=node)
-    out_fb = jax.shard_map(
+    out_fb = _jit_smap(
         lambda adj_s, x_s: khop_aggregate_adj(
             adj_s.slice_hops(k), x_s[:, :k], t1, tk),
         mesh=mesh, in_specs=(pl_specs, node), out_specs=node)(plain, x)

@@ -405,7 +405,7 @@ def make_banded_dataset(n_graphs=6, seed=0, K=2):
                      max_distance_count=10)
     graphs = []
     for i in range(n_graphs):
-        n = int(rng.integers(560, 640))
+        n = int(rng.integers(540, 580))
         src = np.arange(n - 1)
         ch = rng.integers(0, n - 13, n // 4)
         s = np.concatenate([src, src + 1, ch])
