@@ -99,6 +99,20 @@ def measure(dtype, donate=True, fresh_store=False, n_epochs=12):
             "walls": [round(w, 4) for w in walls]}
 
 
+def _tiny_dispatch_ms(n: int = 50):
+    """ms per dependent dispatch of a precompiled trivial op — measures
+    the runtime's per-dispatch overhead independent of any program."""
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.ones((8, 128))
+    x = f(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+    jax.block_until_ready(x)
+    return round(1e3 * (time.perf_counter() - t0) / n, 3)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", required=True)
@@ -127,6 +141,36 @@ def main():
     elif args.mode == "reverse_each":
         for d in ("bf16", "f32", "bf16", "f32"):
             out["phases"].append(measure(d, n_epochs=8))
+    elif args.mode.startswith("preamble_"):
+        # bisect bench_preamble (which reproduced a 12-14x dtype-
+        # independent slowdown of the resident epoch): one preamble
+        # element at a time, plus a live-buffer/GC discriminator, plus
+        # a tiny-dispatch probe that tells per-dispatch overhead from
+        # program-specific slowdown
+        from kpgnn_tpu.graph.batch import collate_dense
+
+        which = args.mode[len("preamble_"):]
+        model, mcfg, graphs, model_bf16 = bench._model_and_graphs()
+        batched, edges = bench._collate_all(graphs, mcfg)
+        out["tiny_ms_before"] = _tiny_dispatch_ms()
+        keep = []
+        if which in ("dense", "gc", "all"):
+            keep.append(bench._bench_backend(model, batched["dense"],
+                                             edges))
+        if which in ("coo", "all"):
+            keep.append(bench._bench_backend(model, batched["coo"], edges))
+        if which in ("bf16m", "gc", "all"):
+            keep.append(bench._bench_backend(model_bf16, batched["dense"],
+                                             edges))
+        if which == "gc":
+            import gc
+            del keep, batched
+            jax.clear_caches()
+            gc.collect()
+            keep = []
+        out["tiny_ms_after"] = _tiny_dispatch_ms()
+        out["phases"].append(measure("bf16"))
+        out["tiny_ms_end"] = _tiny_dispatch_ms()
     elif args.mode == "bench_preamble":
         # replicate bench.py's main-path ordering: compile + run the
         # per-batch donated train steps for three other backends first,
