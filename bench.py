@@ -373,24 +373,30 @@ def _bench_large_graph():
 def _measured_matmul_peak():
     """Achievable bf16 matmul FLOP/s on this chip (roofline ceiling).
 
-    Independent matmuls over DISTINCT input buffers, queued
-    asynchronously, so device execution pipelines back-to-back.  A
-    dependent chain leaves dispatch-latency bubbles between kernels and
-    understates the ceiling ~60x on the tunnel-attached chip (which
-    flattered the MFU computed against it); identical inputs get
-    result-cached by the remote executor and overstate it."""
-    n = 4096
-    f = jax.jit(lambda a: a @ a)
-    reps = 20
-    xs = [jnp.full((n, n), 1.0 + i * 1e-3, jnp.bfloat16)
-          for i in range(reps)]
-    jax.block_until_ready(xs)
-    jax.block_until_ready(f(xs[0]))
+    DEPENDENT chain of value-drifting 8192-matmuls: each call consumes
+    the previous output (new buffer, new values), which defeats the
+    remote executor's result cache — r5 found that re-submitting the
+    SAME buffers returns cached results and reports impossible rates
+    (9.2 PFLOP/s at n=4096 on a 197 TF chip; TRAP 3's mechanism).  At
+    n=8192 each chained call is ~1.1 TFLOP, so the ~0.1 ms dispatch
+    gap costs < 2% — the chain no longer understates the ceiling the
+    way 4096-sized links did."""
+    n = 8192
+    reps = 12
+    # a@a of a constant c matrix = n*c^2; rescale by 1/n so the value
+    # drifts as c^(2^k): start 1.001 -> ~55 after 12 links, finite in
+    # bf16 and distinct at every step (no two calls see equal inputs)
+    scale = jnp.bfloat16(1.0 / n)
+    f = jax.jit(lambda a: (a @ a) * scale)
+    x = jnp.full((n, n), 1.001, jnp.bfloat16)
+    jax.block_until_ready(f(x))
     best = 0.0
     for _ in range(3):
+        y = x
         t0 = time.perf_counter()
-        outs = [f(x) for x in xs]
-        jax.block_until_ready(outs)
+        for _ in range(reps):
+            y = f(y)
+        jax.block_until_ready(y)
         dt = time.perf_counter() - t0
         best = max(best, reps * 2 * n ** 3 / dt)
     return best
