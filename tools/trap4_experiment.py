@@ -154,7 +154,7 @@ def main():
         batched, edges = bench._collate_all(graphs, mcfg)
         out["tiny_ms_before"] = _tiny_dispatch_ms()
         keep = []
-        if which in ("dense", "gc", "all"):
+        if which in ("dense", "gc", "all", "nodonate"):
             keep.append(bench._bench_backend(model, batched["dense"],
                                              edges))
         if which in ("coo", "all"):
@@ -169,7 +169,11 @@ def main():
             gc.collect()
             keep = []
         out["tiny_ms_after"] = _tiny_dispatch_ms()
-        out["phases"].append(measure("bf16"))
+        # nodonate: same dense preamble, but the resident epoch runs
+        # donate=False — discriminates donation-aliasing overhead from
+        # everything else the preamble leaves behind
+        out["phases"].append(measure("bf16",
+                                     donate=(which != "nodonate")))
         out["tiny_ms_end"] = _tiny_dispatch_ms()
     elif args.mode == "bench_preamble":
         # replicate bench.py's main-path ordering: compile + run the
