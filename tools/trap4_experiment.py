@@ -99,6 +99,25 @@ def measure(dtype, donate=True, fresh_store=False, n_epochs=12):
             "walls": [round(w, 4) for w in walls]}
 
 
+def _argcount_ms(counts=(1, 8, 32, 128), n: int = 30):
+    """ms/dispatch of a precompiled sum over k small arrays, vs k —
+    if the post-preamble slowdown is a per-argument dispatch cost, the
+    slope (not the intercept) is what the preamble raises."""
+    out = {}
+    for k in counts:
+        f = jax.jit(lambda *xs: sum(xs))
+        args = [jnp.full((8, 128), float(i + 1)) for i in range(k)]
+        r = f(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            args[0] = r         # dependent: defeat result caching
+            r = f(*args)
+        jax.block_until_ready(r)
+        out[k] = round(1e3 * (time.perf_counter() - t0) / n, 3)
+    return out
+
+
 def _tiny_dispatch_ms(n: int = 50):
     """ms per dependent dispatch of a precompiled trivial op — measures
     the runtime's per-dispatch overhead independent of any program."""
@@ -175,6 +194,15 @@ def main():
         out["phases"].append(measure("bf16",
                                      donate=(which != "nodonate")))
         out["tiny_ms_end"] = _tiny_dispatch_ms()
+    elif args.mode == "argcount":
+        # per-argument dispatch cost before/after the dense preamble —
+        # the decisive probe for the many-args mechanism
+        model, mcfg, graphs, model_bf16 = bench._model_and_graphs()
+        batched, edges = bench._collate_all(graphs, mcfg)
+        out["argcount_before"] = _argcount_ms()
+        bench._bench_backend(model, batched["dense"], edges)
+        out["argcount_after"] = _argcount_ms()
+        out["phases"].append(measure("bf16", n_epochs=6))
     elif args.mode == "bench_preamble":
         # replicate bench.py's main-path ordering: compile + run the
         # per-batch donated train steps for three other backends first,
