@@ -38,37 +38,65 @@ _T0 = time.time()        # watchdog must kill them before os._exit or an
                          # orphan keeps the TPU busy into the next run
 
 
+def _deadline_remaining() -> float:
+    """Seconds left before the deadline watchdog fires."""
+    return (float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+            - (time.time() - _T0))
+
+
 def _run_subprocess_metric(env_key: str, env_val: str, metric: str,
-                           timeout: float, extra_env: dict = None):
+                           timeout: float, extra_env: dict = None,
+                           retries: int = 1):
     """Run bench.py as a clean-process child measuring ONE metric.
 
     Returns the measured float or raises.  Validates returncode and the
     echoed metric name: the child's own device watchdog prints a
     value-0.0 outage line under a DIFFERENT metric name, which must
     trigger the fallback, not be recorded as a throughput (advisor
-    r4 finding, bench.py:246)."""
+    r4 finding, bench.py:246).
+
+    The axon tunnel intermittently wedges a fresh process at its first
+    large device interaction (CLAUDE.md); a wedged child burns its
+    whole timeout, so the timeout is clamped to the remaining deadline
+    budget and ONE retry is attempted (retries resolve wedges)."""
     import subprocess
     env = dict(os.environ, **{env_key: env_val}, **(extra_env or {}),
                BENCH_SUBPROC_PLATFORM=jax.default_backend())
-    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                            env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
-    _children.append(proc)
-    try:
-        stdout, _ = proc.communicate(timeout=timeout)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-        _children.remove(proc)
-    if proc.returncode != 0:
-        raise RuntimeError(f"subprocess rc={proc.returncode}")
-    line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(line)
-    if rec.get("metric") != metric or not isinstance(
-            rec.get("value"), (int, float)):
-        raise RuntimeError(f"subprocess emitted {rec.get('metric')!r}, "
-                           f"wanted {metric!r}")
-    return float(rec["value"])
+    last_err = None
+    for attempt in range(retries + 1):
+        budget = _deadline_remaining() - 120
+        if budget < 60:
+            raise RuntimeError("skipped: insufficient deadline budget")
+        t = min(timeout, budget)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        _children.append(proc)
+        try:
+            stdout, _ = proc.communicate(timeout=t)
+        except subprocess.TimeoutExpired as e:
+            last_err = e
+            continue
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            _children.remove(proc)
+        try:
+            if proc.returncode != 0:
+                raise RuntimeError(f"subprocess rc={proc.returncode}")
+            line = [ln for ln in stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            rec = json.loads(line)
+            if rec.get("metric") != metric or not isinstance(
+                    rec.get("value"), (int, float)):
+                raise RuntimeError(
+                    f"subprocess emitted {rec.get('metric')!r}, "
+                    f"wanted {metric!r}")
+            return float(rec["value"])
+        except Exception as e:
+            last_err = e
+            continue
+    raise RuntimeError(f"{type(last_err).__name__}: {last_err}")
 
 
 def _mark(stage: str) -> None:
@@ -323,7 +351,7 @@ def _bench_large_graph():
             # slow depending on what dispatched before it (TRAP 4)
             try:
                 out[name] = _run_subprocess_metric(
-                    "BENCH_ONLY_LARGE", name, name, timeout=1200)
+                    "BENCH_ONLY_LARGE", name, name, timeout=540)
                 continue
             except Exception as e:
                 # the in-process fallback number is known-depressed
@@ -340,7 +368,7 @@ def _bench_large_graph():
         # BandedStore); clean subprocess like every banded row
         try:
             out[name] = _run_subprocess_metric(
-                "BENCH_ONLY_LARGE", name, name, timeout=1200)
+                "BENCH_ONLY_LARGE", name, name, timeout=540)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     try:
@@ -555,7 +583,7 @@ def main():
         # costs one warm compile, not a cold one.
         backends["dense_resident_bf16"] = _run_subprocess_metric(
             "BENCH_ONLY_RESIDENT_BF16", "1", "dense_resident_bf16",
-            timeout=1500)
+            timeout=600)
     except Exception as e:
         backends["dense_resident_bf16"] = \
             f"error: {type(e).__name__}: {e}"[:120]
@@ -569,7 +597,7 @@ def main():
         # convergence canary for batch 256 is recorded in BASELINE.md.
         backends["dense_resident_bf16_b256"] = _run_subprocess_metric(
             "BENCH_ONLY_RESIDENT_BF16", "1", "dense_resident_bf16",
-            timeout=1500, extra_env={"BENCH_RESIDENT_BATCH": "256"})
+            timeout=700, extra_env={"BENCH_RESIDENT_BATCH": "256"})
     except Exception as e:
         backends["dense_resident_bf16_b256"] = \
             f"error: {type(e).__name__}: {e}"[:120]
