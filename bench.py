@@ -345,30 +345,32 @@ def _bench_large_graph():
     """The Pallas/banded backends' own regime (see _large_graph_setup)."""
     batches, edges, banded_b, (v1, vk, kk), out = _large_graph_setup()
     _partial["large_graph"] = out   # mutated in place: partial results
-    for name, (m, b) in batches.items():   # survive a deadline fire
-        if name.startswith("banded"):
-            # clean subprocess: in-process runs measure banded 1.3-2x
-            # slow depending on what dispatched before it (TRAP 4)
-            try:
-                out[name] = _run_subprocess_metric(
-                    "BENCH_ONLY_LARGE", name, name, timeout=540)
-                continue
-            except Exception as e:
+    # subprocess rows run most-important-first so a wedged child or a
+    # tight deadline costs the least interesting rows (r5: one 540s
+    # wedge pushed banded_resident — the regime's headline — into
+    # "insufficient budget")
+    for name in ("banded_resident", "banded", "banded_resident_bf16",
+                 "banded_bf16"):
+        # clean subprocess for every banded row: in-process runs
+        # measure 1.3-2x slow depending on what dispatched before
+        # (TRAP 4, root-caused r5)
+        try:
+            out[name] = _run_subprocess_metric(
+                "BENCH_ONLY_LARGE", name, name, timeout=540)
+        except Exception as e:
+            if name in batches:
                 # the in-process fallback number is known-depressed
                 # (~35%); tag it so it is never published as clean
                 out[name + "_in_process"] = True
                 out[name + "_subproc_error"] = \
                     f"{type(e).__name__}: {e}"[:120]
+            else:
+                out[name] = f"error: {type(e).__name__}: {e}"[:120]
+    for name, (m, b) in batches.items():   # survive a deadline fire
+        if name in out:     # clean-subprocess banded rows already done;
+            continue        # failed ones fall through to in-process
         try:
             out[name] = round(_bench_backend(m, [b], edges), 1)
-        except Exception as e:
-            out[name] = f"error: {type(e).__name__}: {e}"[:120]
-    for name in ("banded_resident", "banded_resident_bf16"):
-        # the large-graph resident path (one-scan epochs over a
-        # BandedStore); clean subprocess like every banded row
-        try:
-            out[name] = _run_subprocess_metric(
-                "BENCH_ONLY_LARGE", name, name, timeout=540)
         except Exception as e:
             out[name] = f"error: {type(e).__name__}: {e}"[:120]
     try:
