@@ -500,3 +500,32 @@ def test_banded_resident_trainer_learns(banded_dataset):
     assert np.isfinite(res["best_val"])
     first = res["history"][0]["val_loss"]
     assert res["best_val"] < first, (res["best_val"], first)
+
+
+def test_banded_gather_slice_hops_via_gnnplus(banded_dataset):
+    """GNNPlus slices the batch plan per layer (k = min(l+1, K)); the
+    store's remapped spill rows must keep dropping correctly under
+    slice_hops (hop-k' rows land >= k*B*n and out-of-range-drop)."""
+    from kpgnn_tpu.graph.batch import collate_banded
+    from kpgnn_tpu.models import ModelConfig, make_model
+    from kpgnn_tpu.train import build_banded_store, gather_banded_batch
+
+    cfg = ModelConfig(
+        model_name="KPGINPlus", hidden_size=12, num_layer=3, K=2,
+        num_hop1_edge=1, max_pe_num=10, max_edge_type=1,
+        max_edge_count=10, max_hop_num=2, max_distance_count=10,
+        JK="last", combine="attention", input_encoder=("embedding", 2),
+        task="graph_regression", pooling_method="sum", output_size=1,
+    )
+    v1, vk = cfg.num_hop1_edge + 2, cfg.max_pe_num + 2
+    store = build_banded_store(banded_dataset, v1, vk)
+    idx = np.array([0, 2], np.int32)          # spill graphs included
+    got_b = gather_banded_batch(store, jnp.asarray(idx))
+    want_b = collate_banded([banded_dataset[i] for i in idx], v1=v1,
+                            vk=vk, g_pad=2, tile=store.tile,
+                            halo=store.halo)
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), want_b, train=False)
+    got = np.asarray(model.apply(params, got_b, train=False))[:2]
+    want = np.asarray(model.apply(params, want_b, train=False))[:2]
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
